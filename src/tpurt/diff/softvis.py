@@ -1,0 +1,206 @@
+"""Soft visibility / silhouette-edge gradients (SURVEY.md §2b #16).
+
+The visibility function of a ray w.r.t. scene geometry is a step function, so
+naive autodiff through a hard closest-hit renderer sees zero gradient at
+silhouettes (BASELINE.json:5 requires gradients that match finite differences
+there).  The TPU-native fix used here is *soft alpha compositing over the K
+nearest extended hits* (soft-rasterizer style, adapted to ray tracing):
+
+- Every triangle is intersected with a barycentric tolerance band `band`, so
+  rays that *nearly* hit a triangle still record it (a negative signed
+  barycentric edge distance).
+- Each recorded hit i gets coverage  alpha_i = sigmoid(sharpness * s_i)
+  where s_i = min(u, v, 1-u-v) is the signed distance to the nearest edge in
+  barycentric coordinates (positive inside).
+- The pixel composites front-to-back:
+      C = sum_i alpha_i * prod_{j<i} (1 - alpha_j) * c_i  + prod_i (1-alpha_i) * bg
+- Shadow rays use the same alphas as transmittance: vis = prod_i (1-alpha_i).
+
+Because alpha -> 0 smoothly before a hit leaves the band, the rendered image
+is a C^inf function of vertices/materials; jax.grad therefore matches central
+finite differences everywhere, including across silhouettes (tests/grad/).
+The hard renderer is recovered exactly in the sharpness -> inf, band -> 0
+limit, and `band=0` reproduces hard visibility bit-for-bit.
+
+Bias note: barycentric edge distance is not Euclidean screen distance, so the
+effective edge-blur width varies with triangle size/orientation — the standard
+soft-rasterizer trade-off (documented per SURVEY.md §7 "#16"); gradients are
+exact for the soft forward model, which is what the allclose gate checks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpurt.core.geometry import KHits, Rays, T_MAX, Triangles
+from tpurt.core.math import dot
+from tpurt.accel.intersect import DET_EPS, DEFAULT_T_MIN
+
+Array = jax.Array
+
+
+def signed_edge_distance(u: Array, v: Array) -> Array:
+    """Signed barycentric distance to the nearest triangle edge (+ inside)."""
+    return jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+
+
+# Grazing-incidence gate: coverage fades out for faces seen nearly edge-on
+# (|cos(ray, normal)| below ~1e-2). Without it, the smooth pseudo-inverse
+# det/(det^2+eps) drags (u, v, t) of near-parallel planes back through the
+# coverage band as det sweeps through ~sqrt(eps), creating spike artifacts in
+# the loss landscape that finite differences see but a generic-point jax.grad
+# does not. Edge-on faces have zero projected area, so the gate is bias-free
+# in the limit and C^1-smooth (smoothstep).
+DET_GATE_LO = 2e-3
+DET_GATE_HI = 2e-2
+
+
+def det_gate(cos_dn: Array) -> Array:
+    """Smooth 0->1 gate on |cos| between ray direction and face normal."""
+    x = jnp.clip(
+        (jnp.abs(cos_dn) - DET_GATE_LO) / (DET_GATE_HI - DET_GATE_LO), 0.0, 1.0
+    )
+    return x * x * (3.0 - 2.0 * x)
+
+
+def coverage(u: Array, v: Array, sharpness: Array | float, valid: Array) -> Array:
+    """Soft coverage alpha in [0,1]; 0 for invalid (padding) hits."""
+    s = signed_edge_distance(u, v)
+    a = jax.nn.sigmoid(sharpness * s)
+    return jnp.where(valid, a, 0.0)
+
+
+def hard_coverage(u: Array, v: Array, valid: Array) -> Array:
+    s = signed_edge_distance(u, v)
+    return jnp.where(valid & (s >= 0.0), 1.0, 0.0)
+
+
+def composite(alphas: Array, colors: Array, background: Array) -> Array:
+    """Front-to-back alpha compositing.
+
+    alphas: (R, K) front-to-back; colors: (R, K, 3); background: (3,) or (R,3).
+    """
+    trans = jnp.cumprod(1.0 - alphas, axis=-1)
+    # transmittance *before* each layer
+    t_before = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+    w = alphas * t_before  # (R, K)
+    out = jnp.sum(w[..., None] * colors, axis=-2)
+    bg = jnp.broadcast_to(background, out.shape)
+    return out + trans[..., -1:] * bg
+
+
+def transmittance(alphas: Array) -> Array:
+    """Product of (1 - alpha): soft visibility along a (shadow) ray."""
+    return jnp.prod(1.0 - alphas, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force K-nearest extended hits + soft occlusion (the PR1/oracle path;
+# BVH-accelerated equivalents live in accel/ and kernels/).
+# ---------------------------------------------------------------------------
+def _extended_tuv(o, d, tris: Triangles, band, t_min, t_max):
+    """(t,u,v,ext_hit,gate) for all (ray, tri) pairs with barycentric band.
+
+    gate is the smooth grazing-incidence attenuation (det_gate) that callers
+    must multiply into coverage.
+    """
+    v0, v1, v2 = tris.corners()
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    pvec = jnp.cross(d, e2[None])
+    det = dot(e1[None], pvec)
+    inv_det = det / (det * det + DET_EPS)
+    tvec = o - v0[None]
+    u = dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1[None])
+    v = dot(d, qvec) * inv_det
+    t = dot(e2[None], qvec) * inv_det
+    cos_dn = det / jnp.sqrt(
+        jnp.maximum(dot(d, d) * dot(n, n)[None], 1e-30)
+    )
+    ok = (
+        (jnp.abs(det) > DET_EPS)
+        & (u >= -band)
+        & (v >= -band)
+        & (u + v <= 1.0 + band)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(ok, t, T_MAX), u, v, ok, det_gate(cos_dn)
+
+
+def k_nearest_brute(
+    rays: Rays,
+    tris: Triangles,
+    k: int = 4,
+    band: float = 0.08,
+    t_min: float = DEFAULT_T_MIN,
+    t_max: float = T_MAX,
+) -> KHits:
+    """K nearest extended hits per ray by brute force (O(R·T))."""
+    shape = rays.shape
+    o = rays.o.reshape(-1, 1, 3)
+    d = rays.d.reshape(-1, 1, 3)
+    t, u, v, ok, _ = _extended_tuv(o, d, tris, band, t_min, t_max)
+    k = min(k, tris.num_tris)
+    neg_t, idx = jax.lax.top_k(-t, k)  # smallest t first
+    tt = -neg_t
+    r = jnp.arange(t.shape[0])[:, None]
+    uu = u[r, idx]
+    vv = v[r, idx]
+    valid = ok[r, idx] & (tt < T_MAX)
+    tri = jnp.where(valid, idx, -1).astype(jnp.int32)
+    return KHits(
+        t=tt.reshape(*shape, k),
+        u=uu.reshape(*shape, k),
+        v=vv.reshape(*shape, k),
+        tri=tri.reshape(*shape, k),
+    )
+
+
+# Soft shadow t-window: occluder coverage ramps up over
+# [RAMP_NEAR0, RAMP_NEAR1]*t_max and back down over [RAMP_FAR0, RAMP_FAR1]*t_max.
+# Without this, extended (barycentric-band) hits of faces *adjacent to the
+# shadow-ray origin* enter/leave the hard (t_min, t_max) window with alpha up
+# to ~0.5, making the forward function discontinuous — FD then disagrees with
+# autodiff (the exact failure the BASELINE.json:2 allclose gate is about).
+RAMP_NEAR0 = 0.004
+RAMP_NEAR1 = 0.04
+RAMP_FAR0 = 0.96
+RAMP_FAR1 = 0.996
+
+
+def shadow_t_ramp(t: Array, t_max: Array) -> Array:
+    """Smooth occluder weight in (0, t_max): 0 at both ends, 1 in the middle."""
+    x = t / jnp.maximum(t_max, 1e-12)
+    up = jnp.clip((x - RAMP_NEAR0) / (RAMP_NEAR1 - RAMP_NEAR0), 0.0, 1.0)
+    dn = jnp.clip((RAMP_FAR1 - x) / (RAMP_FAR1 - RAMP_FAR0), 0.0, 1.0)
+    up = up * up * (3.0 - 2.0 * up)
+    dn = dn * dn * (3.0 - 2.0 * dn)
+    return up * dn
+
+
+def soft_occlusion_brute(
+    rays: Rays,
+    tris: Triangles,
+    sharpness: float,
+    band: float = 0.08,
+    t_min: float = DEFAULT_T_MIN,
+    t_max: Array | float = T_MAX,
+) -> Array:
+    """Soft visibility of a segment: prod over extended occluders of (1-alpha).
+
+    t_max may be per-ray (R,) — e.g. distance to the light.
+    """
+    shape = rays.shape
+    o = rays.o.reshape(-1, 1, 3)
+    d = rays.d.reshape(-1, 1, 3)
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1, 1), o.shape[:2]) \
+        if jnp.ndim(t_max) > 0 else jnp.asarray(t_max, jnp.float32)
+    t, u, v, ok, gate = _extended_tuv(o, d, tris, band, t_min, 2.0 * tmax)
+    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tmax) * gate
+    return transmittance(a).reshape(shape)

@@ -1,0 +1,283 @@
+"""Render pipeline: primary rays -> hits -> shadow rays -> shade -> film.
+
+SURVEY.md §2b #14.  One jittable function over SoA ray batches; every stage is
+dense vector math so XLA fuses ray-gen, shading and compositing around the
+traversal core.  Traversal is pluggable via `Tracer` (brute-force oracle,
+pure-JAX LBVH, or Pallas TPU kernels) — gradients are *independent* of the
+traversal engine because hit attributes (t,u,v) are always recomputed
+differentiably from the discrete hit ids (stop-gradient on ids only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpurt.accel.intersect import (
+    DEFAULT_T_MIN,
+    intersect_brute,
+    intersect_tri,
+    occluded_brute,
+)
+from tpurt.core.geometry import Hit, KHits, Rays
+from tpurt.core.scene import Scene
+from tpurt.core.math import sample_square
+from tpurt.diff.softvis import (
+    composite,
+    coverage,
+    det_gate,
+    k_nearest_brute,
+    soft_occlusion_brute,
+)
+from tpurt.render.camera import gen_primary_rays
+from tpurt.render.shade import face_forward, light_dirs, shade_lambert
+
+Array = jax.Array
+
+SHADOW_EPS = 1e-3  # offset shadow-ray origins off the surface
+SHADOW_T_FRAC = 1.0 - 1e-3  # stop shadow rays just before the light
+
+
+class Tracer(struct.PyTreeNode):
+    """Traversal engine bound to a scene.
+
+    method (static): 'brute' | 'bvh' | 'pallas'. 'bvh' uses the pure-JAX
+    LBVH traversal (accel/), 'pallas' the TPU kernels (kernels/). The `bvh`
+    field carries the built acceleration structure for the latter two.
+    """
+
+    scene: Scene
+    bvh: Any = None
+    method: str = struct.field(pytree_node=False, default="brute")
+
+    # -- closest hit ------------------------------------------------------
+    def closest(self, rays: Rays) -> Hit:
+        if self.method == "brute":
+            return intersect_brute(rays, self.scene.tris)
+        if self.method == "bvh":
+            from tpurt.accel.traverse_ref import traverse_ref
+
+            return traverse_ref(rays, self.scene.tris, self.bvh)
+        if self.method == "pallas":
+            from tpurt.kernels.traverse import traverse_pallas
+
+            return traverse_pallas(rays, self.scene.tris, self.bvh)
+        raise ValueError(self.method)
+
+    # -- K nearest extended hits (soft/differentiable path) ---------------
+    def k_nearest(self, rays: Rays, k: int, band: float) -> KHits:
+        if self.method == "brute":
+            return k_nearest_brute(rays, self.scene.tris, k=k, band=band)
+        if self.method == "bvh":
+            from tpurt.accel.traverse_ref import k_nearest_ref
+
+            return k_nearest_ref(rays, self.scene.tris, self.bvh, k=k, band=band)
+        if self.method == "pallas":
+            from tpurt.kernels.traverse import k_nearest_pallas
+
+            return k_nearest_pallas(rays, self.scene.tris, self.bvh, k=k, band=band)
+        raise ValueError(self.method)
+
+    # -- shadow visibility ------------------------------------------------
+    def visibility(
+        self, rays: Rays, t_max: Array, soft: bool, sharpness: float, band: float
+    ) -> Array:
+        """Transmittance in (t_min, t_max): 1 fully visible, 0 occluded."""
+        if soft:
+            if self.method == "brute":
+                return soft_occlusion_brute(
+                    rays, self.scene.tris, sharpness, band=band, t_max=t_max
+                )
+            if self.method == "bvh":
+                from tpurt.accel.traverse_ref import soft_occlusion_ref
+
+                return soft_occlusion_ref(
+                    rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
+                )
+            if self.method == "pallas":
+                from tpurt.kernels.traverse import soft_occlusion_pallas
+
+                return soft_occlusion_pallas(
+                    rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
+                )
+            raise ValueError(self.method)
+        if self.method == "brute":
+            return 1.0 - occluded_brute(
+                rays, self.scene.tris, t_max=t_max
+            ).astype(jnp.float32)
+        if self.method in ("bvh", "pallas"):
+            if self.method == "bvh":
+                from tpurt.accel.traverse_ref import occluded_ref as occ
+            else:
+                from tpurt.kernels.traverse import occluded_pallas as occ
+            return 1.0 - occ(rays, self.scene.tris, self.bvh, t_max=t_max).astype(
+                jnp.float32
+            )
+        raise ValueError(self.method)
+
+
+def make_tracer(scene: Scene, method: str = "brute", leaf_size: int = 8) -> Tracer:
+    """Build a Tracer (and its BVH when method needs one)."""
+    if method == "brute":
+        return Tracer(scene=scene, bvh=None, method=method)
+    from tpurt.accel.lbvh import build_lbvh
+
+    bvh = build_lbvh(scene.tris, leaf_size=leaf_size)
+    return Tracer(scene=scene, bvh=bvh, method=method)
+
+
+# ---------------------------------------------------------------------------
+# Shading from hit records
+# ---------------------------------------------------------------------------
+def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
+    """Differentiable surface attributes for given (stop-grad) triangle ids.
+
+    Recomputes (t,u,v) analytically from ray and gathered vertices so the
+    gradient path is identical regardless of which engine produced the ids.
+    Returns (t, u, v, p, n, albedo, emission); callers mask invalid ids.
+    """
+    tid = jax.lax.stop_gradient(jnp.maximum(tri_id, 0))
+    tris = scene.tris
+    f = tris.faces[tid]
+    v0 = tris.verts[f[..., 0]]
+    v1 = tris.verts[f[..., 1]]
+    v2 = tris.verts[f[..., 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(rays.d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = det / (det * det + 1e-12)
+    tvec = rays.o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rays.d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    p = rays.o + t[..., None] * rays.d
+    n_raw = jnp.cross(e1, e2)
+    n_len = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-20)
+    n = n_raw / n_len
+    # |cos| between ray and face normal — feeds the grazing gate
+    # (diff/softvis.det_gate) in the soft path.
+    d_len = jnp.maximum(jnp.linalg.norm(rays.d, axis=-1), 1e-20)
+    cos_dn = det / (d_len * n_len[..., 0])
+    n = face_forward(n, rays.d)
+    return t, u, v, p, n, tris.albedo[tid], tris.emission[tid], cos_dn
+
+
+def _shade_layer(
+    tracer: Tracer,
+    rays: Rays,
+    tri_id: Array,
+    valid: Array,
+    soft: bool,
+    sharpness: float,
+    band: float,
+):
+    """Shade one hit layer; returns (color (R,3), u, v, cos_dn)."""
+    scene = tracer.scene
+    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rays, scene, tri_id)
+    wi, dist, _ = light_dirs(p, scene.lights)
+    # Shadow rays: one per (ray, light); flatten lights into the ray batch.
+    L = scene.lights.pos.shape[0]
+    o_sh = (p + SHADOW_EPS * n)[:, None, :].repeat(L, axis=1).reshape(-1, 3)
+    d_sh = wi.reshape(-1, 3)
+    t_sh = (dist * SHADOW_T_FRAC).reshape(-1)
+    vis = tracer.visibility(
+        Rays(o=o_sh, d=d_sh), t_max=t_sh, soft=soft, sharpness=sharpness, band=band
+    ).reshape(-1, L)
+    color = shade_lambert(p, n, albedo, emission, scene.lights, vis, scene.ambient)
+    color = jnp.where(valid[..., None], color, 0.0)
+    return color, u, v, cos_dn
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+def render_rays(
+    tracer: Tracer,
+    rays: Rays,
+    *,
+    soft: bool = False,
+    k_layers: int = 4,
+    sharpness: float = 100.0,
+    band: float = 0.08,
+) -> Array:
+    """Radiance for a flat batch of rays -> (R, 3).
+
+    soft=False: hard closest-hit render (fast path).
+    soft=True: alpha-composited K-layer soft render — the differentiable
+    forward model whose jax.grad matches finite differences (diff/softvis.py).
+    """
+    scene = tracer.scene
+    if not soft:
+        hit = tracer.closest(rays)
+        color, _, _, _ = _shade_layer(
+            tracer, rays, hit.tri, hit.valid, False, sharpness, band
+        )
+        bg = jnp.broadcast_to(scene.background, color.shape)
+        return jnp.where(hit.valid[..., None], color, bg)
+
+    kh = tracer.k_nearest(rays, k=k_layers, band=band)
+    k = kh.k
+
+    def layer(i):
+        tid = kh.tri[..., i]
+        valid = tid >= 0
+        color, u, v, cos_dn = _shade_layer(
+            tracer, rays, tid, valid, True, sharpness, band
+        )
+        alpha = coverage(u, v, sharpness, valid) * det_gate(cos_dn)
+        return color, alpha
+
+    colors, alphas = [], []
+    for i in range(k):  # static unroll; k is small
+        c, a = layer(i)
+        colors.append(c)
+        alphas.append(a)
+    colors = jnp.stack(colors, axis=-2)  # (R, K, 3)
+    alphas = jnp.stack(alphas, axis=-1)  # (R, K)
+    return composite(alphas, colors, scene.background)
+
+
+def render(
+    scene: Scene,
+    cam,
+    *,
+    method: str = "brute",
+    tracer: Tracer | None = None,
+    soft: bool = False,
+    k_layers: int = 4,
+    sharpness: float = 100.0,
+    band: float = 0.08,
+    spp: int = 1,
+    key: Array | None = None,
+) -> Array:
+    """Render an image (H, W, 3) linear radiance."""
+    if tracer is None:
+        tracer = make_tracer(scene, method)
+    else:
+        tracer = tracer.replace(scene=scene)
+
+    def one_sample(jitter):
+        rays = gen_primary_rays(cam, jitter)
+        return render_rays(
+            tracer, rays, soft=soft, k_layers=k_layers,
+            sharpness=sharpness, band=band,
+        )
+
+    if spp <= 1 or key is None:
+        img = one_sample(None)
+    else:
+        keys = jax.random.split(key, spp)
+
+        def body(carry, k):
+            jit2 = sample_square(k, (cam.num_pixels,))
+            return carry + one_sample(jit2), None
+
+        img, _ = jax.lax.scan(body, jnp.zeros((cam.num_pixels, 3)), keys)
+        img = img / spp
+    return img.reshape(cam.height, cam.width, 3)
