@@ -1,0 +1,349 @@
+"""Karras (2012) binary-radix LBVH construction — pure JAX (SURVEY.md §2b #7).
+
+TPU-native design notes:
+- Every internal node's (direction, range, split) is independent, so the whole
+  radix tree is built by fully-vectorized fixed-trip binary searches over the
+  sorted Morton codes (31 masked steps instead of data-dependent loops —
+  XLA-friendly, no dynamic shapes).  Uses the standard property that the
+  longest-common-prefix `delta(i, k)` of *sorted distinct* keys is
+  non-increasing in |k - i|, which makes the range/split predicates monotone
+  and binary-searchable.  Duplicate Morton codes are disambiguated with index
+  bits (delta += 32 + clz(i ^ j)), per Karras §4.
+- After the tree build, the BVH is flattened into **DFS order with escape
+  (skip) links**, giving a *stackless* threaded traversal: hit -> next node
+  (i+1), miss -> escape[i].  A **treelet cut** turns every subtree with
+  <= leaf_size primitives into one leaf over a *contiguous* range of
+  Morton-sorted triangles, so leaf intersection streams dense triangle blocks
+  (the TPU replacement for per-lane gather).
+
+The reference repo contains no BVH code to mirror (SURVEY.md §0); the method
+is mandated by BASELINE.json:5.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpurt.accel.morton import triangle_morton_codes
+from tpurt.accel.sort_ref import sort_pairs
+from tpurt.core.geometry import AABB, Triangles
+
+Array = jax.Array
+
+# Sentinel: "no node" / end of traversal.
+INVALID = jnp.int32(-1)
+
+
+class BVH(struct.PyTreeNode):
+    """LBVH over triangles. N = num tris; node ids: internal 0..N-2,
+    leaf k <-> node (N-1)+k. Flat arrays are in DFS order with escape links
+    (the traversal representation); raw arrays keep the radix-tree topology
+    (used by refit and tests).
+    """
+
+    # --- radix tree (raw node order) ---
+    left: Array  # (N-1,) child node id
+    right: Array  # (N-1,)
+    parent: Array  # (2N-1,) parent node id; INVALID for root
+    first: Array  # (2N-1,) leaf-range start (inclusive, sorted space)
+    last: Array  # (2N-1,) leaf-range end (inclusive)
+    node_lo: Array  # (2N-1, 3) AABBs (refit output)
+    node_hi: Array  # (2N-1, 3)
+    # --- Morton ordering ---
+    codes: Array  # (N,) sorted morton codes
+    tri_order: Array  # (N,) sorted position -> original triangle index
+    # --- threaded flat representation (DFS order over the treelet cut) ---
+    flat_lo: Array  # (M, 3)
+    flat_hi: Array  # (M, 3)
+    flat_escape: Array  # (M,) next DFS index on miss / after leaf; -1 = done
+    flat_is_leaf: Array  # (M,) bool
+    flat_first: Array  # (M,) int32 start into tri_order (leaves)
+    flat_count: Array  # (M,) int32 number of tris (leaves)
+    dfs: Array  # (2N-1,) raw node id -> flat index (M for dead nodes)
+    leaf_size: int = struct.field(pytree_node=False, default=8)
+    band: float = struct.field(pytree_node=False, default=0.0)
+
+    @property
+    def num_tris(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def num_flat(self) -> int:
+        return self.flat_escape.shape[0]
+
+
+def _delta(codes: Array, i: Array, j: Array, n: int) -> Array:
+    """LCP length of sorted (code, index) keys; -1 when j out of range."""
+    valid = (j >= 0) & (j < n)
+    jc = jnp.clip(j, 0, n - 1)
+    ci = codes[i]
+    cj = codes[jc]
+    x = ci ^ cj
+    ix = i.astype(jnp.uint32) ^ jc.astype(jnp.uint32)
+    d = jnp.where(
+        x == 0,
+        32 + jax.lax.clz(ix),
+        jax.lax.clz(x),
+    ).astype(jnp.int32)
+    return jnp.where(valid, d, -1)
+
+
+def build_radix_tree(codes: Array):
+    """Vectorized Karras 2012: returns (left, right, parent, first, last).
+
+    codes: (N,) sorted uint32 morton codes. Node ids: internal i in [0, N-2],
+    leaf k is node (N-1)+k.
+    """
+    n = codes.shape[0]
+    n_int = n - 1
+    i = jnp.arange(n_int, dtype=jnp.int32)
+
+    d_raw = _delta(codes, i, i + 1, n) - _delta(codes, i, i - 1, n)
+    d = jnp.where(d_raw >= 0, 1, -1).astype(jnp.int32)
+    delta_min = _delta(codes, i, i - d, n)
+
+    # Largest l >= 1 with delta(i, i + l*d) > delta_min (monotone predicate).
+    l = jnp.zeros_like(i)
+    for b in range(30, -1, -1):
+        cand = l + (1 << b)
+        ok = _delta(codes, i, i + cand * d, n) > delta_min
+        l = jnp.where(ok, cand, l)
+    j = i + l * d
+    delta_node = _delta(codes, i, j, n)
+
+    # Largest s in [0, l-1] with delta(i, i + s*d) > delta_node.
+    s = jnp.zeros_like(i)
+    for b in range(30, -1, -1):
+        cand = s + (1 << b)
+        ok = (cand <= l - 1) & (_delta(codes, i, i + cand * d, n) > delta_node)
+        s = jnp.where(ok, cand, s)
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo_ij = jnp.minimum(i, j)
+    hi_ij = jnp.maximum(i, j)
+    leaf_base = jnp.int32(n - 1)
+    left = jnp.where(lo_ij == gamma, leaf_base + gamma, gamma)
+    right = jnp.where(hi_ij == gamma + 1, leaf_base + gamma + 1, gamma + 1)
+
+    parent = jnp.full((2 * n - 1,), INVALID, dtype=jnp.int32)
+    parent = parent.at[left].set(i)
+    parent = parent.at[right].set(i)
+
+    first = jnp.concatenate([lo_ij, jnp.arange(n, dtype=jnp.int32)])
+    last = jnp.concatenate([hi_ij, jnp.arange(n, dtype=jnp.int32)])
+    return left, right, parent, first, last
+
+
+def _converge(body, init, max_iters: int):
+    """Run `body` until its `changed` flag clears (bounded by max_iters)."""
+
+    def cond(state):
+        it, changed, _ = state
+        return changed & (it < max_iters)
+
+    def step(state):
+        it, _, x = state
+        x2, changed = body(x)
+        return it + 1, changed, x2
+
+    _, _, out = jax.lax.while_loop(cond, step, (0, True, init))
+    return out
+
+
+def refit_node_aabbs(
+    left: Array, right: Array, leaf_lo: Array, leaf_hi: Array, max_depth: int
+):
+    """Bottom-up AABB propagation by level-synchronous passes.
+
+    The GPU idiom is per-node atomic flags; the TPU idiom is a handful of
+    dense gather/min/max passes (one per tree level) until fixpoint — each
+    pass is pure vector work. (SURVEY.md §2b #8 reference implementation.)
+    """
+    n = leaf_lo.shape[0]
+    big = jnp.float32(3.0e38)
+    lo = jnp.concatenate([jnp.full((n - 1, 3), big), leaf_lo])
+    hi = jnp.concatenate([jnp.full((n - 1, 3), -big), leaf_hi])
+
+    def body(state):
+        lo, hi = state
+        new_lo_i = jnp.minimum(lo[left], lo[right])
+        new_hi_i = jnp.maximum(hi[left], hi[right])
+        new_lo = jnp.concatenate([new_lo_i, leaf_lo])
+        new_hi = jnp.concatenate([new_hi_i, leaf_hi])
+        changed = jnp.any(new_lo != lo) | jnp.any(new_hi != hi)
+        return (new_lo, new_hi), changed
+
+    lo, hi = _converge(body, (lo, hi), max_depth)
+    return lo, hi
+
+
+def _thread_dfs(
+    left: Array,
+    right: Array,
+    parent: Array,
+    first: Array,
+    last: Array,
+    leaf_size: int,
+    max_depth: int,
+):
+    """Treelet cut + DFS numbering + escape links, all by level-sync passes.
+
+    Returns (dfs, escape_dfs, live, is_eff_leaf):
+    - live: node is reachable without passing through a cut node
+    - is_eff_leaf: live node whose subtree has <= leaf_size triangles
+    - dfs: preorder index among live nodes (dead nodes -> out-of-range M)
+    - escape_dfs: DFS index to jump to when skipping this node's subtree
+    """
+    n = (first.shape[0] + 1) // 2
+    m = 2 * n - 1
+    size = last - first + 1  # subtree triangle count per node
+    is_internal = jnp.arange(m, dtype=jnp.int32) < (n - 1)
+    cuttable = size <= leaf_size
+
+    # live: root is live; child live iff parent live and parent not cuttable.
+    live = jnp.zeros((m,), bool).at[0].set(True)
+
+    def live_body(lv):
+        plv = jnp.where(parent >= 0, lv[jnp.maximum(parent, 0)], False)
+        pcut = jnp.where(parent >= 0, cuttable[jnp.maximum(parent, 0)], True)
+        new = lv | (plv & ~pcut)
+        return new, jnp.any(new != lv)
+
+    live = _converge(live_body, live, max_depth)
+    is_eff_leaf = live & cuttable
+
+    # Effective subtree node count (over live nodes): leaf -> 1.
+    eff = jnp.where(is_eff_leaf, 1, 0).astype(jnp.int32)
+
+    def eff_body(e):
+        child_sum = jnp.zeros((n - 1,), jnp.int32)
+        el = e[left]
+        er = e[right]
+        both = (el > 0) & (er > 0)
+        cand = jnp.where(both, el + er + 1, 0)
+        child_sum = cand
+        new_int = jnp.where(is_eff_leaf[: n - 1], e[: n - 1], child_sum)
+        new = jnp.concatenate([new_int, e[n - 1 :]])
+        return new, jnp.any(new != e)
+
+    eff = _converge(eff_body, eff, max_depth)
+
+    # DFS preorder + escape, top-down.
+    dfs = jnp.full((m,), -1, jnp.int32).at[0].set(0)
+    esc = jnp.full((m,), -1, jnp.int32)  # escape of root = -1 (terminate)
+
+    child_of = jnp.maximum(parent, 0)
+    is_left_child = left[child_of] == jnp.arange(m, dtype=jnp.int32)
+
+    def dfs_body(state):
+        dfs, esc = state
+        pd = dfs[child_of]
+        pe = esc[child_of]
+        p_eff_left = eff[left[child_of]]
+        my_dfs = jnp.where(is_left_child, pd + 1, pd + 1 + p_eff_left)
+        my_esc = jnp.where(is_left_child, pd + 1 + p_eff_left, pe)
+        ready = (parent >= 0) & live & (pd >= 0) & ~is_eff_leaf[child_of]
+        new_dfs = jnp.where(ready & (dfs < 0), my_dfs, dfs)
+        new_esc = jnp.where(ready & (dfs < 0), my_esc, esc)
+        changed = jnp.any(new_dfs != dfs)
+        return (new_dfs, new_esc), changed
+
+    dfs, esc = _converge(dfs_body, (dfs, esc), max_depth)
+    dfs = jnp.where(live & (dfs >= 0), dfs, m)  # dead -> out-of-range (drop)
+    return dfs, esc, live, is_eff_leaf
+
+
+def build_lbvh(
+    tris: Triangles,
+    leaf_size: int = 8,
+    band: float = 0.0,
+    sort_backend: str = "xla",
+    max_depth: int = 128,
+) -> BVH:
+    """Build the full LBVH: morton sort -> radix tree -> refit -> DFS thread.
+
+    band > 0 inflates per-triangle AABBs so the *extended* barycentric-band
+    intersections used by the soft/differentiable path (diff/softvis.py) are
+    still found by traversal.
+    """
+    n = tris.num_tris
+    v0, v1, v2 = tris.corners()
+    tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    if band > 0.0:
+        pad = band * (jnp.abs(v1 - v0) + jnp.abs(v2 - v0)) + 1e-7
+        tri_lo = tri_lo - pad
+        tri_hi = tri_hi + pad
+
+    if n == 1:
+        # Degenerate single-triangle scene: one flat leaf.
+        z = jnp.zeros((1,), jnp.int32)
+        return BVH(
+            left=jnp.zeros((0,), jnp.int32),
+            right=jnp.zeros((0,), jnp.int32),
+            parent=jnp.full((1,), INVALID, jnp.int32),
+            first=z,
+            last=z,
+            node_lo=tri_lo,
+            node_hi=tri_hi,
+            codes=jnp.zeros((1,), jnp.uint32),
+            tri_order=z,
+            flat_lo=tri_lo,
+            flat_hi=tri_hi,
+            flat_escape=jnp.full((1,), -1, jnp.int32),
+            flat_is_leaf=jnp.ones((1,), bool),
+            flat_first=z,
+            flat_count=jnp.ones((1,), jnp.int32),
+            dfs=z,
+            leaf_size=leaf_size,
+            band=band,
+        )
+
+    codes = triangle_morton_codes(tris)
+    codes, tri_order = sort_pairs(
+        codes, jnp.arange(n, dtype=jnp.int32), backend=sort_backend
+    )
+
+    left, right, parent, first, last = build_radix_tree(codes)
+
+    leaf_lo = tri_lo[tri_order]
+    leaf_hi = tri_hi[tri_order]
+    node_lo, node_hi = refit_node_aabbs(left, right, leaf_lo, leaf_hi, max_depth)
+
+    dfs, esc, live, is_eff_leaf = _thread_dfs(
+        left, right, parent, first, last, leaf_size, max_depth
+    )
+
+    m = 2 * n - 1
+    idx = dfs  # out-of-range m for dead nodes -> dropped by scatter
+    flat_lo = jnp.zeros((m, 3), jnp.float32).at[idx].set(node_lo, mode="drop")
+    flat_hi = jnp.zeros((m, 3), jnp.float32).at[idx].set(node_hi, mode="drop")
+    flat_escape = jnp.full((m,), -1, jnp.int32).at[idx].set(esc, mode="drop")
+    flat_is_leaf = jnp.zeros((m,), bool).at[idx].set(is_eff_leaf, mode="drop")
+    flat_first = jnp.zeros((m,), jnp.int32).at[idx].set(first, mode="drop")
+    flat_count = jnp.zeros((m,), jnp.int32).at[idx].set(
+        jnp.where(is_eff_leaf, last - first + 1, 0), mode="drop"
+    )
+
+    return BVH(
+        left=left,
+        right=right,
+        parent=parent,
+        first=first,
+        last=last,
+        node_lo=node_lo,
+        node_hi=node_hi,
+        codes=codes,
+        tri_order=tri_order,
+        flat_lo=flat_lo,
+        flat_hi=flat_hi,
+        flat_escape=flat_escape,
+        flat_is_leaf=flat_is_leaf,
+        flat_first=flat_first,
+        flat_count=flat_count,
+        dfs=dfs,
+        leaf_size=leaf_size,
+        band=band,
+    )

@@ -120,13 +120,19 @@ class Tracer(struct.PyTreeNode):
         raise ValueError(self.method)
 
 
-def make_tracer(scene: Scene, method: str = "brute", leaf_size: int = 8) -> Tracer:
-    """Build a Tracer (and its BVH when method needs one)."""
+def make_tracer(
+    scene: Scene, method: str = "brute", leaf_size: int = 8, band: float = 0.0
+) -> Tracer:
+    """Build a Tracer (and its BVH when method needs one).
+
+    band must match the soft path's barycentric band when rendering with
+    soft=True: node AABBs are inflated so extended near-miss hits are found.
+    """
     if method == "brute":
         return Tracer(scene=scene, bvh=None, method=method)
     from tpurt.accel.lbvh import build_lbvh
 
-    bvh = build_lbvh(scene.tris, leaf_size=leaf_size)
+    bvh = build_lbvh(scene.tris, leaf_size=leaf_size, band=band)
     return Tracer(scene=scene, bvh=bvh, method=method)
 
 

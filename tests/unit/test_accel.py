@@ -1,0 +1,219 @@
+"""Unit tests for the acceleration layer (SURVEY.md §4b 'Unit'):
+morton interleave vs naive loop, radix sort vs argsort, Karras tree
+invariants, refit containment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.accel.lbvh import build_lbvh, build_radix_tree, _delta
+from tpurt.accel.morton import (
+    expand_bits,
+    expand_bits_naive,
+    morton3d,
+    triangle_morton_codes,
+)
+from tpurt.accel.refit import refit_aabbs
+from tpurt.accel.sort_ref import radix_sort_ref, sort_pairs
+from tpurt.core.geometry import AABB, Triangles
+from tpurt.core.scene import make_bunny_scene, make_cornell_box
+
+
+def random_tris(n, key=0, spread=4.0):
+    k = jax.random.PRNGKey(key)
+    k1, k2 = jax.random.split(k)
+    centers = jax.random.uniform(k1, (n, 1, 3), minval=-spread, maxval=spread)
+    offsets = jax.random.normal(k2, (n, 3, 3)) * 0.3
+    v = (centers + offsets).reshape(-1, 3)
+    f = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    return Triangles.create(v, f)
+
+
+# ----------------------------------------------------------------- morton --
+def test_expand_bits_vs_naive():
+    x = jnp.arange(1024, dtype=jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(expand_bits(x)), np.asarray(expand_bits_naive(x))
+    )
+
+
+def test_morton_locality_order():
+    # Points along a diagonal must be monotonically ordered by morton code.
+    t = jnp.linspace(0.01, 0.99, 64)[:, None]
+    pts = t * jnp.ones((1, 3))
+    b = AABB(lo=jnp.zeros(3), hi=jnp.ones(3))
+    codes = np.asarray(morton3d(pts, b))
+    assert (np.diff(codes.astype(np.int64)) > 0).all()
+
+
+def test_morton_octant_msb():
+    b = AABB(lo=jnp.zeros(3), hi=jnp.ones(3))
+    lo_pt = jnp.array([[0.1, 0.1, 0.1]])
+    hi_pt = jnp.array([[0.9, 0.9, 0.9]])
+    c_lo = int(morton3d(lo_pt, b)[0])
+    c_hi = int(morton3d(hi_pt, b)[0])
+    assert c_lo >> 27 == 0  # all top bits zero in low octant
+    assert c_hi >> 27 == 7  # all top bits set in high octant
+
+
+# ------------------------------------------------------------------- sort --
+def test_radix_sort_ref_matches_argsort():
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.randint(key, (999,), 0, 2**31 - 1).astype(jnp.uint32)
+    vals = jnp.arange(999, dtype=jnp.int32)
+    sk, sv = radix_sort_ref(keys, vals)
+    order = np.argsort(np.asarray(keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(keys)[order])
+    np.testing.assert_array_equal(np.asarray(sv), order)
+
+
+def test_radix_sort_ref_adversarial_duplicates():
+    # All-equal keys must be a stable no-op permutation.
+    keys = jnp.full((257,), 42, jnp.uint32)
+    vals = jnp.arange(257, dtype=jnp.int32)
+    sk, sv = radix_sort_ref(keys, vals)
+    np.testing.assert_array_equal(np.asarray(sv), np.arange(257))
+
+
+def test_sort_backends_agree():
+    key = jax.random.PRNGKey(2)
+    keys = jax.random.randint(key, (512,), 0, 1 << 30).astype(jnp.uint32)
+    vals = jnp.arange(512, dtype=jnp.int32)
+    k1, v1 = sort_pairs(keys, vals, backend="xla")
+    k2, v2 = sort_pairs(keys, vals, backend="ref")
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+# ------------------------------------------------------------------- tree --
+def check_tree_invariants(codes):
+    n = codes.shape[0]
+    left, right, parent, first, last = build_radix_tree(codes)
+    left, right, parent, first, last = map(
+        np.asarray, (left, right, parent, first, last)
+    )
+    # Each internal node's children point back to it.
+    for i in range(n - 1):
+        assert parent[left[i]] == i
+        assert parent[right[i]] == i
+    # Root is node 0 and has no parent; every other node has one.
+    assert parent[0] == -1
+    assert (parent[1:] >= 0).all()
+    # Ranges: node i covers exactly the union of its children's ranges,
+    # split contiguously.
+    for i in range(n - 1):
+        assert first[i] == first[left[i]]
+        assert last[i] == last[right[i]]
+        assert last[left[i]] + 1 == first[right[i]]
+    # Root covers everything; leaf count == n.
+    assert first[0] == 0 and last[0] == n - 1
+    # Split position maximizes the prefix: delta across the split boundary
+    # equals the node's delta (Karras property): children ranges are
+    # contiguous and within-child deltas exceed the node delta.
+    i_arr = jnp.arange(n - 1, dtype=jnp.int32)
+    d_node = np.asarray(
+        _delta(jnp.asarray(codes), i_arr, jnp.asarray(last[: n - 1]), n)
+    )
+    for i in range(n - 1):
+        split = last[left[i]]
+        d_split = np.asarray(
+            _delta(
+                jnp.asarray(codes),
+                jnp.asarray([split], jnp.int32),
+                jnp.asarray([split + 1], jnp.int32),
+                n,
+            )
+        )[0]
+        # all adjacent deltas strictly inside a child exceed the split delta
+        for j in range(first[i], last[i]):
+            dj = np.asarray(
+                _delta(
+                    jnp.asarray(codes),
+                    jnp.asarray([j], jnp.int32),
+                    jnp.asarray([j + 1], jnp.int32),
+                    n,
+                )
+            )[0]
+            assert dj >= d_split
+
+
+@pytest.mark.parametrize("n", [2, 3, 17, 128])
+def test_radix_tree_invariants_random(n):
+    key = jax.random.PRNGKey(n)
+    codes = jnp.sort(
+        jax.random.randint(key, (n,), 0, 1 << 30).astype(jnp.uint32)
+    )
+    check_tree_invariants(codes)
+
+
+def test_radix_tree_all_duplicate_codes():
+    codes = jnp.full((32,), 123456, jnp.uint32)
+    check_tree_invariants(codes)  # index tie-break must still give a tree
+
+
+# ------------------------------------------------------------------ refit --
+def test_bvh_containment_and_leaf_cover():
+    tris = random_tris(200, key=3)
+    bvh = build_lbvh(tris, leaf_size=4)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    lo = np.asarray(bvh.node_lo)
+    hi = np.asarray(bvh.node_hi)
+    n = tris.num_tris
+    # child AABBs inside parent AABBs
+    for i in range(n - 1):
+        for c in (left[i], right[i]):
+            assert (lo[i] <= lo[c] + 1e-5).all()
+            assert (hi[i] >= hi[c] - 1e-5).all()
+    # root box contains all triangle boxes
+    tb = AABB.of_triangles(tris)
+    assert (lo[0] <= np.asarray(tb.lo).min(0) + 1e-5).all()
+    assert (hi[0] >= np.asarray(tb.hi).max(0) - 1e-5).all()
+    # flat leaves cover every sorted triangle exactly once
+    is_leaf = np.asarray(bvh.flat_is_leaf)
+    firsts = np.asarray(bvh.flat_first)[is_leaf]
+    counts = np.asarray(bvh.flat_count)[is_leaf]
+    covered = np.zeros(n, np.int32)
+    for f, c in zip(firsts, counts):
+        assert 1 <= c <= bvh.leaf_size
+        covered[f : f + c] += 1
+    assert (covered == 1).all()
+
+
+def test_refit_tracks_moved_vertices():
+    tris = random_tris(64, key=4)
+    bvh = build_lbvh(tris, leaf_size=4)
+    moved = tris.replace(verts=tris.verts * 1.5 + 0.25)
+    bvh2 = refit_aabbs(bvh, moved)
+    # Root box of refit BVH contains all moved triangles.
+    tb = AABB.of_triangles(moved)
+    assert (np.asarray(bvh2.node_lo[0]) <= np.asarray(tb.lo).min(0) + 1e-4).all()
+    assert (np.asarray(bvh2.node_hi[0]) >= np.asarray(tb.hi).max(0) - 1e-4).all()
+    # Topology untouched.
+    np.testing.assert_array_equal(np.asarray(bvh.left), np.asarray(bvh2.left))
+    np.testing.assert_array_equal(np.asarray(bvh.dfs), np.asarray(bvh2.dfs))
+
+
+def test_escape_links_form_valid_dfs():
+    tris = random_tris(100, key=5)
+    bvh = build_lbvh(tris, leaf_size=4)
+    esc = np.asarray(bvh.flat_escape)
+    is_leaf = np.asarray(bvh.flat_is_leaf)
+    count = np.asarray(bvh.flat_count)
+    # Walk the threaded tree visiting every live node exactly once.
+    seen = []
+    node = 0
+    steps = 0
+    while node != -1 and steps < 10000:
+        seen.append(node)
+        node = int(esc[node]) if is_leaf[node] else node + 1
+        steps += 1
+    assert steps < 10000
+    live = len(seen)
+    assert sorted(seen) == list(range(live))  # preorder 0..live-1, each once
+    # Leaves cover all tris (checked above); escape always jumps forward
+    # or terminates.
+    for i in seen:
+        assert esc[i] == -1 or esc[i] > i
