@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from tpurt.accel.intersect import DEFAULT_T_MIN, DET_EPS
 from tpurt.accel.lbvh import BVH
 from tpurt.core.geometry import Hit, KHits, Rays, T_MAX, Triangles
-from tpurt.diff.softvis import coverage, det_gate, shadow_t_ramp
 
 Array = jax.Array
 
@@ -337,6 +336,92 @@ def k_nearest_ref(
 # ---------------------------------------------------------------------------
 # Soft occlusion (differentiable shadows)
 # ---------------------------------------------------------------------------
+def occluder_ids_ref(
+    rays: Rays,
+    tris: Triangles,
+    bvh: BVH,
+    k: int,
+    band: float,
+    t_min: float,
+    t_max: Array,
+) -> Array:
+    """Nearest-K extended-occluder ids per ray in (t_min, t_max) — discrete
+    structure only, for the stop-gradient half of the differentiable shadow
+    path.  t_max is per-ray (flat).  Returns (R, k) int32, -1 padded.
+    """
+    sv0, sv1, sv2 = _sorted_tri_verts(tris, bvh)
+    leaf_cap = bvh.leaf_size
+
+    def one_ray(o, d, tmax):
+        inv_d = _safe_inv(d)
+        ks = jnp.arange(k)
+
+        def insert(lists, t, tri, ok):
+            ts, ids = lists
+            ok = ok & (t < ts[k - 1])
+            pos = jnp.sum(ts < t)
+            shift = (ks > pos - 1) & ok
+            new_ts = jnp.where(
+                ok & (ks == pos),
+                t,
+                jnp.where(shift & (ks > pos), ts[jnp.maximum(ks - 1, 0)], ts),
+            )
+            new_ids = jnp.where(
+                ok & (ks == pos),
+                tri,
+                jnp.where(shift & (ks > pos), ids[jnp.maximum(ks - 1, 0)], ids),
+            )
+            return new_ts, new_ids
+
+        def cond(state):
+            node, *_ = state
+            return node >= 0
+
+        def body(state):
+            node, lists = state
+            boxed = _slab_hit(
+                o, inv_d, bvh.flat_lo[node], bvh.flat_hi[node], t_min,
+                jnp.minimum(lists[0][k - 1], tmax),
+            )
+            is_leaf = bvh.flat_is_leaf[node]
+
+            def do_leaf(lists):
+                start = bvh.flat_first[node]
+                count = bvh.flat_count[node]
+
+                def tri_body(kk, lists):
+                    si = start + kk
+                    t, u, v, det, _ = _mt_scalar(o, d, sv0[si], sv1[si], sv2[si])
+                    ok = (
+                        (jnp.abs(det) > DET_EPS)
+                        & (u >= -band)
+                        & (v >= -band)
+                        & (u + v <= 1.0 + band)
+                        & (t > t_min)
+                        & (t < tmax)
+                        & (kk < count)
+                    )
+                    return insert(lists, t, bvh.tri_order[si], ok)
+
+                return jax.lax.fori_loop(0, leaf_cap, tri_body, lists)
+
+            lists = jax.lax.cond(boxed & is_leaf, do_leaf, lambda x: x, lists)
+            descend = boxed & ~is_leaf
+            nxt = jnp.where(descend, node + 1, bvh.flat_escape[node])
+            return nxt, lists
+
+        init = (
+            jnp.full((k,), T_MAX, jnp.float32),
+            jnp.full((k,), -1, jnp.int32),
+        )
+        _, (_, ids) = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+        return ids
+
+    return jax.vmap(one_ray)(
+        rays.o.reshape(-1, 3), rays.d.reshape(-1, 3), t_max.reshape(-1)
+    )
+
+
 def soft_occlusion_ref(
     rays: Rays,
     tris: Triangles,
@@ -345,69 +430,27 @@ def soft_occlusion_ref(
     band: float = 0.08,
     t_min: float = DEFAULT_T_MIN,
     t_max=T_MAX,
+    k_occ: int = 16,
 ) -> Array:
-    """Transmittance: prod over extended occluders of (1 - alpha), with the
-    same alpha model as diff/softvis.soft_occlusion_brute (coverage *
-    shadow_t_ramp * det_gate). Gradients flow through vertex positions via
-    the recomputed (t,u,v) — ids are discrete.
+    """Transmittance: prod over extended occluders of (1 - alpha), same alpha
+    model as diff/softvis.soft_occlusion_brute.
+
+    Two-phase for reverse-mode autodiff (lax.while_loop has no transpose
+    rule): (1) stop-gradient traversal collects the nearest k_occ extended
+    occluder ids; (2) diff/softvis.soft_occlusion_from_ids recomputes the
+    alpha product differentiably from gathered vertices.  Exact vs brute
+    force whenever a shadow segment crosses <= k_occ extended occluders.
     """
-    sv0, sv1, sv2 = _sorted_tri_verts(tris, bvh)
-    leaf_cap = bvh.leaf_size
+    from tpurt.diff.softvis import soft_occlusion_from_ids
+
     shape = rays.shape
+    flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
     tmax_arr = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), shape
     ).reshape(-1)
-
-    def one_ray(o, d, tmax):
-        inv_d = _safe_inv(d)
-
-        def cond(state):
-            node, _ = state
-            return node >= 0
-
-        def body(state):
-            node, trans = state
-            boxed = _slab_hit(
-                o, inv_d, bvh.flat_lo[node], bvh.flat_hi[node], t_min, 2.0 * tmax
-            )
-            is_leaf = bvh.flat_is_leaf[node]
-
-            def do_leaf(trans):
-                start = bvh.flat_first[node]
-                count = bvh.flat_count[node]
-
-                def tri_body(kk, trans):
-                    si = start + kk
-                    t, u, v, det, cos_dn = _mt_scalar(
-                        o, d, sv0[si], sv1[si], sv2[si]
-                    )
-                    ok = (
-                        (jnp.abs(det) > DET_EPS)
-                        & (u >= -band)
-                        & (v >= -band)
-                        & (u + v <= 1.0 + band)
-                        & (t > t_min)
-                        & (t < 2.0 * tmax)
-                        & (kk < count)
-                    )
-                    a = (
-                        coverage(u, v, sharpness, ok)
-                        * shadow_t_ramp(t, tmax)
-                        * det_gate(cos_dn)
-                    )
-                    return trans * (1.0 - a)
-
-                return jax.lax.fori_loop(0, leaf_cap, tri_body, trans)
-
-            trans = jax.lax.cond(boxed & is_leaf, do_leaf, lambda x: x, trans)
-            descend = boxed & ~is_leaf
-            nxt = jnp.where(descend, node + 1, bvh.flat_escape[node])
-            return nxt, trans
-
-        _, trans = jax.lax.while_loop(cond, body, (jnp.int32(0), 1.0))
-        return trans
-
-    trans = jax.vmap(one_ray)(
-        rays.o.reshape(-1, 3), rays.d.reshape(-1, 3), tmax_arr
+    ids = jax.lax.stop_gradient(
+        occluder_ids_ref(flat, tris, bvh, k_occ, band, t_min, 2.0 * tmax_arr)
     )
-    return trans.reshape(shape)
+    return soft_occlusion_from_ids(
+        flat, tris, ids, sharpness, band, t_min, tmax_arr
+    ).reshape(shape)

@@ -1,0 +1,97 @@
+"""Renderer façade: scene in -> image out (SURVEY.md §2b #25).
+
+Wraps tracer construction, jit caching, and optional multi-chip sharding
+behind one object so users never touch shard_map or BVH plumbing.  The
+reference has no API surface to mirror (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tpurt.api.config import RenderConfig
+from tpurt.core.geometry import Camera, Rays
+from tpurt.core.scene import Scene
+from tpurt.render.camera import gen_primary_rays
+from tpurt.render.pipeline import Tracer, make_tracer, render_rays
+
+
+class Renderer:
+    """Stateful façade: holds the scene, its acceleration structure, and the
+    compiled render function.
+
+    >>> r = Renderer(scene, config=RenderConfig(method='bvh'))
+    >>> img = r.render(cam)                   # (H, W, 3) linear radiance
+    >>> img = r.render(cam, spp=16, key=key)  # jittered AA
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        config: RenderConfig | None = None,
+        mesh=None,
+    ):
+        self.config = config or RenderConfig()
+        self.mesh = mesh
+        self.scene = scene
+        self._tracer = make_tracer(scene, **self.config.tracer_kwargs())
+        self._compiled: dict[Any, Any] = {}
+
+    @property
+    def tracer(self) -> Tracer:
+        return self._tracer
+
+    def update_scene(self, scene: Scene, rebuild_bvh: bool = True) -> None:
+        """Swap scene; rebuild_bvh=False keeps topology (vertex-only edits
+        still need a refit — use InverseRenderer for that loop)."""
+        self.scene = scene
+        if rebuild_bvh or self._tracer.bvh is None:
+            self._tracer = make_tracer(scene, **self.config.tracer_kwargs())
+        else:
+            self._tracer = self._tracer.replace(scene=scene)
+
+    # -- rendering --------------------------------------------------------
+    def render_rays(self, rays: Rays, **overrides: Any) -> jax.Array:
+        kw = {**self.config.render_kwargs(), **overrides}
+        if self.mesh is not None:
+            from tpurt.dist.shard import shard_render_rays
+
+            return shard_render_rays(self._tracer, rays, self.mesh, **kw)
+        return self._render_jit(tuple(sorted(kw.items())))(self._tracer, rays)
+
+    def render(
+        self,
+        cam: Camera,
+        spp: int = None,
+        key: jax.Array | None = None,
+        **overrides: Any,
+    ) -> jax.Array:
+        spp = self.config.spp if spp is None else spp
+        if spp > 1 and key is None:
+            key = jax.random.key(0)
+        if spp > 1:
+            from tpurt.core.math import sample_square
+
+            keys = jax.random.split(key, spp)
+            acc = jnp.zeros((cam.num_pixels, 3))
+            for k in keys:  # python loop: each sample reuses the jit cache
+                jitter = sample_square(k, (cam.num_pixels,))
+                acc = acc + self.render_rays(gen_primary_rays(cam, jitter), **overrides)
+            return (acc / spp).reshape(cam.height, cam.width, 3)
+        colors = self.render_rays(gen_primary_rays(cam), **overrides)
+        return colors.reshape(cam.height, cam.width, 3)
+
+    # -- jit cache ---------------------------------------------------------
+    def _render_jit(self, kw_key):
+        fn = self._compiled.get(kw_key)
+        if fn is None:
+            kw = dict(kw_key)
+            fn = jax.jit(
+                functools.partial(render_rays, **kw),
+            )
+            self._compiled[kw_key] = fn
+        return fn

@@ -184,6 +184,63 @@ def shadow_t_ramp(t: Array, t_max: Array) -> Array:
     return up * dn
 
 
+def soft_occlusion_from_ids(
+    rays: Rays,
+    tris: Triangles,
+    ids: Array,
+    sharpness: float,
+    band: float = 0.08,
+    t_min: float = DEFAULT_T_MIN,
+    t_max: Array | float = T_MAX,
+) -> Array:
+    """Differentiable transmittance from a *discrete* occluder-id list.
+
+    ids: (R, K) int32 candidate occluders per flat ray (-1 padding), produced
+    by any traversal engine (accel/traverse_ref.py, kernels/traverse.py) and
+    treated as stop-gradient structure; (t,u,v) are recomputed analytically
+    from gathered vertices, so gradients are identical to the brute-force
+    product over the same occluders.  This split is what makes every
+    while-loop/Pallas traversal reverse-differentiable without a custom VJP
+    through the loop.
+    """
+    ids = jax.lax.stop_gradient(ids)
+    o = rays.o.reshape(-1, 1, 3)
+    d = rays.d.reshape(-1, 1, 3)
+    tmax = (
+        jnp.asarray(t_max, jnp.float32).reshape(-1, 1)
+        if jnp.ndim(t_max) > 0
+        else jnp.asarray(t_max, jnp.float32)
+    )
+    tid = jnp.maximum(ids, 0)
+    f = tris.faces[tid]  # (R, K, 3)
+    v0 = tris.verts[f[..., 0]]
+    v1 = tris.verts[f[..., 1]]
+    v2 = tris.verts[f[..., 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    pvec = jnp.cross(d, e2)
+    det = dot(e1, pvec)
+    inv_det = det / (det * det + DET_EPS)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    cos_dn = det / jnp.sqrt(jnp.maximum(dot(d, d) * dot(n, n), 1e-30))
+    ok = (
+        (ids >= 0)
+        & (jnp.abs(det) > DET_EPS)
+        & (u >= -band)
+        & (v >= -band)
+        & (u + v <= 1.0 + band)
+        & (t > t_min)
+        & (t < 2.0 * tmax)
+    )
+    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tmax) * det_gate(cos_dn)
+    return transmittance(a).reshape(rays.shape)
+
+
 def soft_occlusion_brute(
     rays: Rays,
     tris: Triangles,

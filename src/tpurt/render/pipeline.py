@@ -227,7 +227,10 @@ def render_rays(
         bg = jnp.broadcast_to(scene.background, color.shape)
         return jnp.where(hit.valid[..., None], color, bg)
 
-    kh = tracer.k_nearest(rays, k=k_layers, band=band)
+    # Hit ids are discrete structure; attrs are recomputed differentiably in
+    # _surface_attrs, so the whole KHits record is stop-gradient (this also
+    # keeps reverse-mode AD out of while-loop traversal engines).
+    kh = jax.lax.stop_gradient(tracer.k_nearest(rays, k=k_layers, band=band))
     k = kh.k
 
     def layer(i):
