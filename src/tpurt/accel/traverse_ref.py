@@ -249,9 +249,10 @@ def k_nearest_ref(
         ks = jnp.arange(k)
 
         def insert(lists, t, u, v, tri, ok):
+            # lexicographic (t, id) order: equal-t ties match brute top_k
             ts, us, vs, ids = lists
-            ok = ok & (t < ts[k - 1])
-            pos = jnp.sum(ts < t)
+            ok = ok & ((t < ts[k - 1]) | ((t == ts[k - 1]) & (tri < ids[k - 1])))
+            pos = jnp.sum((ts < t) | ((ts == t) & (ids < tri)))
             shift = (ks > pos - 1) & ok  # entries at >= pos move right
             new_ts = jnp.where(
                 ok & (ks == pos),
@@ -357,9 +358,10 @@ def occluder_ids_ref(
         ks = jnp.arange(k)
 
         def insert(lists, t, tri, ok):
+            # lexicographic (t, id) order: equal-t ties match brute top_k
             ts, ids = lists
-            ok = ok & (t < ts[k - 1])
-            pos = jnp.sum(ts < t)
+            ok = ok & ((t < ts[k - 1]) | ((t == ts[k - 1]) & (tri < ids[k - 1])))
+            pos = jnp.sum((ts < t) | ((ts == t) & (ids < tri)))
             shift = (ks > pos - 1) & ok
             new_ts = jnp.where(
                 ok & (ks == pos),

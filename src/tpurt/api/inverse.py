@@ -112,9 +112,14 @@ class InverseRenderer:
             # gradient (discrete structure only).
             scene = jax.lax.stop_gradient(self.apply_params(params))
             bvh = self.tracer0.bvh
+            packed = self.tracer0.packed
             if bvh is not None and "verts" in params:
                 bvh = refit_aabbs(bvh, scene.tris)
-            tracer = self.tracer0.replace(scene=scene, bvh=bvh)
+                if packed is not None:
+                    from tpurt.accel.packet import refit_packed
+
+                    packed = refit_packed(packed, bvh, scene.tris)
+            tracer = self.tracer0.replace(scene=scene, bvh=bvh, packed=packed)
             return chunked_grad(
                 functools.partial(loss_fn, tracer=tracer),
                 params,

@@ -45,13 +45,20 @@ SHADOW_T_FRAC = 1.0 - 1e-3  # stop shadow rays just before the light
 class Tracer(struct.PyTreeNode):
     """Traversal engine bound to a scene.
 
-    method (static): 'brute' | 'bvh' | 'pallas'. 'bvh' uses the pure-JAX
-    LBVH traversal (accel/), 'pallas' the TPU kernels (kernels/). The `bvh`
-    field carries the built acceleration structure for the latter two.
+    method (static): 'brute' | 'bvh' | 'packet' | 'wave' | 'pallas'.
+    - 'brute':  O(R*T) oracle (accel/intersect.py).
+    - 'bvh':    per-ray pure-JAX LBVH traversal (accel/traverse_ref.py) —
+                CPU oracle; per-ray node gathers blow up on TPU.
+    - 'packet': scalar-cursor packet traversal (accel/packet.py); `packed`
+                carries its layout.
+    - 'wave':   lockstep wavefront traversal (accel/wavefront.py) — the
+                TPU-fast engine (bulk gathers, one global while loop).
+    - 'pallas': Pallas TPU kernels (kernels/traverse.py), packed layout.
     """
 
     scene: Scene
     bvh: Any = None
+    packed: Any = None
     method: str = struct.field(pytree_node=False, default="brute")
 
     # -- closest hit ------------------------------------------------------
@@ -62,10 +69,18 @@ class Tracer(struct.PyTreeNode):
             from tpurt.accel.traverse_ref import traverse_ref
 
             return traverse_ref(rays, self.scene.tris, self.bvh)
+        if self.method == "packet":
+            from tpurt.accel.packet import traverse_packet
+
+            return traverse_packet(rays, self.scene.tris, self.packed)
+        if self.method == "wave":
+            from tpurt.accel.wavefront import wave_closest
+
+            return wave_closest(rays, self.scene.tris, self.bvh)
         if self.method == "pallas":
             from tpurt.kernels.traverse import traverse_pallas
 
-            return traverse_pallas(rays, self.scene.tris, self.bvh)
+            return traverse_pallas(rays, self.scene.tris, self.packed)
         raise ValueError(self.method)
 
     # -- K nearest extended hits (soft/differentiable path) ---------------
@@ -76,10 +91,23 @@ class Tracer(struct.PyTreeNode):
             from tpurt.accel.traverse_ref import k_nearest_ref
 
             return k_nearest_ref(rays, self.scene.tris, self.bvh, k=k, band=band)
-        if self.method == "pallas":
-            from tpurt.kernels.traverse import k_nearest_pallas
+        if self.method in ("packet", "wave", "pallas"):
+            if self.method == "packet":
+                from tpurt.accel.packet import k_nearest_ids_packet as knid
 
-            return k_nearest_pallas(rays, self.scene.tris, self.bvh, k=k, band=band)
+                ids = knid(rays, self.scene.tris, self.packed, k=k, band=band)
+            elif self.method == "wave":
+                from tpurt.accel.wavefront import wave_k_ids
+
+                ids = wave_k_ids(rays, self.scene.tris, self.bvh, k=k, band=band)
+            else:
+                from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
+
+                ids = knid(rays, self.scene.tris, self.packed, k=k, band=band)
+            # Front-to-back ids only; (t,u,v) are recomputed differentiably
+            # downstream (_surface_attrs), so zeros are fine as placeholders.
+            z = jnp.zeros(ids.shape, jnp.float32)
+            return KHits(t=z, u=z, v=z, tri=ids.reshape(*rays.shape, k))
         raise ValueError(self.method)
 
     # -- shadow visibility ------------------------------------------------
@@ -88,35 +116,72 @@ class Tracer(struct.PyTreeNode):
     ) -> Array:
         """Transmittance in (t_min, t_max): 1 fully visible, 0 occluded."""
         if soft:
-            if self.method == "brute":
-                return soft_occlusion_brute(
-                    rays, self.scene.tris, sharpness, band=band, t_max=t_max
-                )
-            if self.method == "bvh":
-                from tpurt.accel.traverse_ref import soft_occlusion_ref
-
-                return soft_occlusion_ref(
-                    rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
-                )
-            if self.method == "pallas":
-                from tpurt.kernels.traverse import soft_occlusion_pallas
-
-                return soft_occlusion_pallas(
-                    rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
-                )
-            raise ValueError(self.method)
+            return self._soft_visibility(rays, t_max, sharpness, band)
         if self.method == "brute":
             return 1.0 - occluded_brute(
                 rays, self.scene.tris, t_max=t_max
             ).astype(jnp.float32)
-        if self.method in ("bvh", "pallas"):
-            if self.method == "bvh":
-                from tpurt.accel.traverse_ref import occluded_ref as occ
-            else:
-                from tpurt.kernels.traverse import occluded_pallas as occ
-            return 1.0 - occ(rays, self.scene.tris, self.bvh, t_max=t_max).astype(
-                jnp.float32
+        if self.method == "bvh":
+            from tpurt.accel.traverse_ref import occluded_ref
+
+            occ = occluded_ref(rays, self.scene.tris, self.bvh, t_max=t_max)
+        elif self.method == "packet":
+            from tpurt.accel.packet import occluded_packet
+
+            occ = occluded_packet(rays, self.scene.tris, self.packed, t_max=t_max)
+        elif self.method == "wave":
+            from tpurt.accel.wavefront import wave_occluded
+
+            occ = wave_occluded(rays, self.scene.tris, self.bvh, t_max=t_max)
+        elif self.method == "pallas":
+            from tpurt.kernels.traverse import occluded_pallas
+
+            occ = occluded_pallas(rays, self.scene.tris, self.packed, t_max=t_max)
+        else:
+            raise ValueError(self.method)
+        return 1.0 - occ.astype(jnp.float32)
+
+    def _soft_visibility(
+        self, rays: Rays, t_max: Array, sharpness: float, band: float, k_occ: int = 16
+    ) -> Array:
+        if self.method == "brute":
+            return soft_occlusion_brute(
+                rays, self.scene.tris, sharpness, band=band, t_max=t_max
             )
+        if self.method == "bvh":
+            from tpurt.accel.traverse_ref import soft_occlusion_ref
+
+            return soft_occlusion_ref(
+                rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
+            )
+        if self.method in ("packet", "wave", "pallas"):
+            from tpurt.diff.softvis import soft_occlusion_from_ids
+
+            shape = rays.shape
+            tmax_arr = jnp.broadcast_to(
+                jnp.asarray(t_max, jnp.float32), shape
+            ).reshape(-1)
+            flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
+            if self.method == "packet":
+                from tpurt.accel.packet import k_nearest_ids_packet as knid
+
+                ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
+                           band=band, t_max=2.0 * tmax_arr)
+            elif self.method == "wave":
+                from tpurt.accel.wavefront import wave_k_ids
+
+                ids = wave_k_ids(flat, self.scene.tris, self.bvh, k=k_occ,
+                                 band=band, t_max=2.0 * tmax_arr)
+            else:
+                from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
+
+                ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
+                           band=band, t_max=2.0 * tmax_arr)
+            ids = jax.lax.stop_gradient(ids)
+            return soft_occlusion_from_ids(
+                flat, self.scene.tris, ids, sharpness, band,
+                t_max=tmax_arr,
+            ).reshape(shape)
         raise ValueError(self.method)
 
 
@@ -132,8 +197,22 @@ def make_tracer(
         return Tracer(scene=scene, bvh=None, method=method)
     from tpurt.accel.lbvh import build_lbvh
 
-    bvh = build_lbvh(scene.tris, leaf_size=leaf_size, band=band)
-    return Tracer(scene=scene, bvh=bvh, method=method)
+    # jit the build: eager op-by-op dispatch of the O(log N) level passes is
+    # dispatch-bound on accelerators (observed 278s eager vs ~1s jitted for
+    # a 70K-tri scene on one TPU chip).
+    build = jax.jit(
+        build_lbvh, static_argnames=("leaf_size", "band", "sort_backend", "max_depth")
+    )
+    bvh = build(scene.tris, leaf_size=leaf_size, band=band)
+    packed = None
+    if method in ("packet", "pallas"):
+        from tpurt.accel.packet import pack_bvh
+
+        n_leaves = int(bvh.flat_is_leaf.sum())
+        packed = jax.jit(pack_bvh, static_argnames=("n_leaves",))(
+            scene.tris, bvh, n_leaves=n_leaves
+        )
+    return Tracer(scene=scene, bvh=bvh, packed=packed, method=method)
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +346,9 @@ def render(
 ) -> Array:
     """Render an image (H, W, 3) linear radiance."""
     if tracer is None:
-        tracer = make_tracer(scene, method)
+        # Soft renders need band-inflated node AABBs or extended near-miss
+        # hits fall outside the boxes and get culled engine-dependently.
+        tracer = make_tracer(scene, method, band=band if soft else 0.0)
     else:
         tracer = tracer.replace(scene=scene)
 
