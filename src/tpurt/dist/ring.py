@@ -1,0 +1,162 @@
+"""Ring traversal over a partitioned scene — the PP / ring-attention analogue
+(SURVEY.md §2b #21).
+
+Each device owns one Morton-coherent triangle chunk (dist/scene_partition.py)
+and one ray shard.  Per ring step every device intersects its resident ray
+batch against its resident chunk, folds the result into the running closest
+hit, then `ppermute`s the (rays, best-hit) state to the next device over ICI.
+After `n_parts` steps every ray has visited every chunk and the state has
+rotated all the way home, so outputs land on the device that owns those rays
+— exactly the ring-attention rotation pattern, with "KV block" -> triangle
+chunk and "attention partial" -> running min-t hit.
+
+Compute per step is O(R/D · F/D) per device and the per-step transfer is the
+O(R/D) ray+hit state, so compute:communication improves linearly with chunk
+size; XLA overlaps the `ppermute` with the next step's intersection work.
+
+No reference implementation exists (SURVEY.md §0); the requirement is
+BASELINE.json:5's spatially-partitioned-BVH scaling path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpurt.accel.intersect import DEFAULT_T_MIN, intersect_tri
+from tpurt.core.geometry import T_MAX, Hit, Rays
+from tpurt.dist.scene_partition import ScenePartition
+
+Array = jax.Array
+
+RAY_AXIS = "rays"
+
+
+def _local_closest(o, d, v0, v1, v2, gid, t_min):
+    """Closest hit of rays (R,3) against the local chunk (M tris).
+
+    Returns (t, u, v, gid) with t = T_MAX / gid = -1 on miss."""
+    t, u, v, hit = intersect_tri(
+        o[:, None, :], d[:, None, :], v0[None], v1[None], v2[None], t_min
+    )
+    t = jnp.where(hit & (gid >= 0)[None, :], t, T_MAX)
+    j = jnp.argmin(t, axis=1)
+    r = jnp.arange(t.shape[0])
+    tb = t[r, j]
+    ok = tb < T_MAX
+    return (
+        tb,
+        jnp.where(ok, u[r, j], 0.0),
+        jnp.where(ok, v[r, j], 0.0),
+        jnp.where(ok, gid[j], -1),
+    )
+
+
+def ring_trace(
+    mesh: Mesh,
+    rays: Rays,
+    part: ScenePartition,
+    t_min: float = DEFAULT_T_MIN,
+    axis_name: str = RAY_AXIS,
+) -> Hit:
+    """Global closest hit with rays sharded P(axis) and the scene partitioned
+    across the same axis. Ray count and n_parts must both divide by the mesh
+    size (pad with dist.shard.pad_rays). Returns Hit with ORIGINAL tri ids."""
+    n_dev = mesh.shape[axis_name]
+    if part.n_parts != n_dev:
+        raise ValueError(f"partition has {part.n_parts} parts, mesh has {n_dev}")
+    shape = rays.shape
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+
+    spec = P(axis_name)
+
+    @jax.jit
+    @shard_map(
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec, spec, spec, spec),
+    )
+    def run(o_sh, d_sh, v0, v1, v2, gid):
+        perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+        r = o_sh.shape[0]
+        init = (o_sh, d_sh) + lax.pvary(
+            (
+                jnp.full((r,), T_MAX, jnp.float32),
+                jnp.zeros((r,), jnp.float32),
+                jnp.zeros((r,), jnp.float32),
+                jnp.full((r,), -1, jnp.int32),
+            ),
+            axis_name,
+        )
+
+        def step(_, carry):
+            o_c, d_c, bt, bu, bv, bg = carry
+            t, u, v, g = _local_closest(o_c, d_c, v0, v1, v2, gid, t_min)
+            better = t < bt
+            bt = jnp.where(better, t, bt)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            bg = jnp.where(better, g, bg)
+            return lax.ppermute((o_c, d_c, bt, bu, bv, bg), axis_name, perm)
+
+        o_c, d_c, bt, bu, bv, bg = lax.fori_loop(0, n_dev, step, init)
+        del o_c, d_c
+        return bt, bu, bv, bg
+
+    bt, bu, bv, bg = run(o, d, part.v0, part.v1, part.v2, part.gid)
+    return Hit(
+        t=bt.reshape(shape), u=bu.reshape(shape), v=bv.reshape(shape),
+        tri=bg.reshape(shape),
+    )
+
+
+def ring_occluded(
+    mesh: Mesh,
+    rays: Rays,
+    part: ScenePartition,
+    t_max: Array,
+    t_min: float = DEFAULT_T_MIN,
+    axis_name: str = RAY_AXIS,
+) -> Array:
+    """Any-hit over the ring: True where segment (t_min, t_max) is blocked by
+    any partition's triangles. t_max: per-ray, same shape as rays."""
+    n_dev = mesh.shape[axis_name]
+    shape = rays.shape
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
+
+    spec = P(axis_name)
+
+    @jax.jit
+    @shard_map(
+        mesh=mesh,
+        in_specs=(spec,) * 7,
+        out_specs=spec,
+    )
+    def run(o_sh, d_sh, tm_sh, v0, v1, v2, gid):
+        perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+        init = (
+            o_sh,
+            d_sh,
+            tm_sh,
+            lax.pvary(jnp.zeros(o_sh.shape[:1], bool), axis_name),
+        )
+
+        def step(_, carry):
+            o_c, d_c, tmax_c, blocked = carry
+            t, _, _, hit = intersect_tri(
+                o_c[:, None, :], d_c[:, None, :],
+                v0[None], v1[None], v2[None], t_min,
+            )
+            any_hit = jnp.any(hit & (gid >= 0)[None, :] & (t < tmax_c[:, None]), axis=1)
+            return lax.ppermute(
+                (o_c, d_c, tmax_c, blocked | any_hit), axis_name, perm
+            )
+
+        return lax.fori_loop(0, n_dev, step, init)[3]
+
+    return run(o, d, tm, part.v0, part.v1, part.v2, part.gid).reshape(shape)
