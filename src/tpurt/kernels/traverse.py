@@ -1,0 +1,413 @@
+"""Pallas TPU traversal kernels (SURVEY.md §2b #10).
+
+One fused Mosaic kernel walks the whole BVH per ray *packet*: the packet's
+(8, 128) ray tile lives in vector registers / VMEM for the entire walk, the
+packed BVH (accel/packet.pack_bvh layout) is pinned whole in VMEM, and the
+scalar node cursor drives `lax.while_loop` + `lax.cond` control flow — so the
+complete traversal is ONE kernel launch per render instead of one XLA op
+dispatch per node step, and every node/leaf fetch is a VMEM scalar load
+instead of an HBM round-trip.
+
+Semantics contract: identical results to accel/packet.py (same visit order,
+same Möller–Trumbore formulation including the smooth det pseudo-inverse and
+the (t, tri-id) lexicographic tie-break); tests/oracle/test_pallas_oracle.py
+enforces it.  Scenes whose packed arrays exceed the VMEM budget fall back to
+the packet engine transparently (`fits_vmem`); the two-level HBM-resident
+variant is future work.
+
+The reference repo has no kernels of any kind to mirror (SURVEY.md §0); this
+is the TPU-native equivalent of the GPU compute-shader traversal a project
+with the reference's README would contain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.accel.intersect import DEFAULT_T_MIN, DET_EPS
+from tpurt.accel.packet import LEAF_CAP, PACKET_RAYS, PackedBVH
+from tpurt.core.geometry import Hit, Rays, T_MAX, Triangles
+
+Array = jax.Array
+
+SUB, LANE = 8, 128  # (sublane, lane) tile of one ray packet
+assert SUB * LANE == PACKET_RAYS
+
+# Leave headroom under the ~16 MB/core VMEM for ray tiles + double buffering.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def packed_bytes(packed: PackedBVH) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in (packed.node_f32, packed.node_i32, packed.tri_rows, packed.tri_ids)
+    )
+
+
+def fits_vmem(packed: PackedBVH) -> bool:
+    return packed_bytes(packed) <= VMEM_BUDGET_BYTES
+
+
+def _pad_tiles(rays: Rays, *extra_flat: Array):
+    """Flatten rays (+ optional per-ray scalars) and pad to PACKET_RAYS,
+    reshaped to (P, SUB, LANE) component tiles."""
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+    n = o.shape[0]
+    pad = (-n) % PACKET_RAYS
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)])
+        extra_flat = tuple(
+            jnp.concatenate([e, jnp.zeros((pad,), e.dtype)]) for e in extra_flat
+        )
+    p = o.shape[0] // PACKET_RAYS
+
+    def tile(x):
+        return x.reshape(p, SUB, LANE)
+
+    comps = tuple(tile(o[:, c]) for c in range(3)) + tuple(
+        tile(d[:, c]) for c in range(3)
+    )
+    return comps + tuple(tile(e) for e in extra_flat), p, n
+
+
+def _safe_inv(d):
+    return jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, jnp.sign(d) * 1e30 + 1e30)
+
+
+def _slab(ox, oy, oz, ix, iy, iz, nf_ref, node, t_min, t_upper):
+    """Packet slab test against node AABB; scalars broadcast over (8,128)."""
+    lox, loy, loz = nf_ref[node, 0], nf_ref[node, 1], nf_ref[node, 2]
+    hix, hiy, hiz = nf_ref[node, 3], nf_ref[node, 4], nf_ref[node, 5]
+    tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
+    ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
+    tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_upper),
+    )
+    return t_near <= t_far
+
+
+def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, row, base):
+    """Möller–Trumbore of the (8,128) packet vs ONE triangle whose
+    (v0, e1, e2) scalars sit at row[base:base+9]. Same op order as
+    accel/packet._mt_packet (sum-of-mul reductions, smooth pseudo-inverse)."""
+    v0x, v0y, v0z = row[base + 0], row[base + 1], row[base + 2]
+    e1x, e1y, e1z = row[base + 3], row[base + 4], row[base + 5]
+    e2x, e2y, e2z = row[base + 6], row[base + 7], row[base + 8]
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = det / (det * det + DET_EPS)
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    return t, u, v, det
+
+
+def _bvh_specs():
+    """Whole-array VMEM specs for the four packed-BVH operands (every grid
+    step maps to block (0, 0) -> loaded once, resident across packets)."""
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # node_f32 (M, 8)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # node_i32 (M, 4)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_rows (L, 128)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_ids  (L, LEAF_CAP)
+    ]
+
+
+def _ray_spec():
+    return pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Closest hit
+# ---------------------------------------------------------------------------
+def _closest_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz, t_o, u_o, v_o, id_o,
+                    t_min: float):
+    oxv, oyv, ozv = ox[0], oy[0], oz[0]
+    dxv, dyv, dzv = dx[0], dy[0], dz[0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+
+    def cond(s):
+        return s[0] >= 0
+
+    def body(s):
+        node, t_b, u_b, v_b, id_b = s
+        esc = ni[node, 0]
+        leaf_row = ni[node, 1]
+        is_leaf = ni[node, 3] > 0
+        boxed = _slab(oxv, oyv, ozv, ix, iy, iz, nf, node, t_min, t_b)
+        want = jnp.any(boxed)
+
+        def do_leaf(acc):
+            t_b, u_b, v_b, id_b = acc
+            row = rows[leaf_row, :]
+            for j in range(LEAF_CAP):
+                t, u, v, det = _mt_scalar_tri(oxv, oyv, ozv, dxv, dyv, dzv, row, 9 * j)
+                tid = tids[leaf_row, j]
+                better = (t < t_b) | ((t == t_b) & (tid < id_b) & (id_b >= 0))
+                ok = (
+                    (jnp.abs(det) > DET_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & better
+                    & (tid >= 0)
+                )
+                t_b = jnp.where(ok, t, t_b)
+                u_b = jnp.where(ok, u, u_b)
+                v_b = jnp.where(ok, v, v_b)
+                id_b = jnp.where(ok, tid, id_b)
+            return t_b, u_b, v_b, id_b
+
+        t_b, u_b, v_b, id_b = jax.lax.cond(
+            want & is_leaf, do_leaf, lambda a: a, (t_b, u_b, v_b, id_b)
+        )
+        nxt = jnp.where(want & jnp.logical_not(is_leaf), node + 1, esc)
+        return nxt, t_b, u_b, v_b, id_b
+
+    init = (
+        jnp.int32(0),
+        jnp.full((SUB, LANE), T_MAX, jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full((SUB, LANE), -1, jnp.int32),
+    )
+    _, t, u, v, tid = jax.lax.while_loop(cond, body, init)
+    t_o[0] = t
+    u_o[0] = u
+    v_o[0] = v
+    id_o[0] = tid
+
+
+def traverse_pallas(
+    rays: Rays,
+    tris: Triangles,
+    packed: PackedBVH,
+    t_min: float = DEFAULT_T_MIN,
+) -> Hit:
+    """Closest hit via the fused Pallas walk; packet-engine fallback for
+    scenes too large for VMEM residence."""
+    if not fits_vmem(packed):
+        from tpurt.accel.packet import traverse_packet
+
+        return traverse_packet(rays, tris, packed, t_min)
+    (ox, oy, oz, dx, dy, dz), p, n = _pad_tiles(rays)
+    tile = jax.ShapeDtypeStruct((p, SUB, LANE), jnp.float32)
+    itile = jax.ShapeDtypeStruct((p, SUB, LANE), jnp.int32)
+    t, u, v, tid = pl.pallas_call(
+        functools.partial(_closest_kernel, t_min=t_min),
+        grid=(p,),
+        in_specs=_bvh_specs() + [_ray_spec()] * 6,
+        out_specs=[_ray_spec()] * 4,
+        out_shape=[tile, tile, tile, itile],
+        interpret=_interpret(),
+    )(packed.node_f32, packed.node_i32, packed.tri_rows, packed.tri_ids,
+      ox, oy, oz, dx, dy, dz)
+    shape = rays.shape
+    return Hit(
+        t=t.reshape(-1)[:n].reshape(shape),
+        u=u.reshape(-1)[:n].reshape(shape),
+        v=v.reshape(-1)[:n].reshape(shape),
+        tri=tid.reshape(-1)[:n].reshape(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Any hit (hard shadows)
+# ---------------------------------------------------------------------------
+def _occluded_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz, tm, blk_o,
+                     t_min: float):
+    oxv, oyv, ozv = ox[0], oy[0], oz[0]
+    dxv, dyv, dzv = dx[0], dy[0], dz[0]
+    tmax = tm[0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+
+    def cond(s):
+        node, blocked = s
+        return (node >= 0) & jnp.logical_not(jnp.all(blocked))
+
+    def body(s):
+        node, blocked = s
+        esc = ni[node, 0]
+        leaf_row = ni[node, 1]
+        is_leaf = ni[node, 3] > 0
+        boxed = _slab(oxv, oyv, ozv, ix, iy, iz, nf, node, t_min, tmax) & jnp.logical_not(blocked)
+        want = jnp.any(boxed)
+
+        def do_leaf(blocked):
+            row = rows[leaf_row, :]
+            for j in range(LEAF_CAP):
+                t, u, v, det = _mt_scalar_tri(oxv, oyv, ozv, dxv, dyv, dzv, row, 9 * j)
+                ok = (
+                    (jnp.abs(det) > DET_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < tmax)
+                    & (tids[leaf_row, j] >= 0)
+                )
+                blocked = blocked | ok
+            return blocked
+
+        blocked = jax.lax.cond(want & is_leaf, do_leaf, lambda b: b, blocked)
+        nxt = jnp.where(want & jnp.logical_not(is_leaf), node + 1, esc)
+        return nxt, blocked
+
+    _, blocked = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((SUB, LANE), bool))
+    )
+    blk_o[0] = blocked.astype(jnp.int32)
+
+
+def occluded_pallas(
+    rays: Rays,
+    tris: Triangles,
+    packed: PackedBVH,
+    t_max,
+    t_min: float = DEFAULT_T_MIN,
+) -> Array:
+    if not fits_vmem(packed):
+        from tpurt.accel.packet import occluded_packet
+
+        return occluded_packet(rays, tris, packed, t_max, t_min)
+    shape = rays.shape
+    tmax_flat = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
+    (ox, oy, oz, dx, dy, dz, tm), p, n = _pad_tiles(rays, tmax_flat)
+    blk = pl.pallas_call(
+        functools.partial(_occluded_kernel, t_min=t_min),
+        grid=(p,),
+        in_specs=_bvh_specs() + [_ray_spec()] * 7,
+        out_specs=_ray_spec(),
+        out_shape=jax.ShapeDtypeStruct((p, SUB, LANE), jnp.int32),
+        interpret=_interpret(),
+    )(packed.node_f32, packed.node_i32, packed.tri_rows, packed.tri_ids,
+      ox, oy, oz, dx, dy, dz, tm)
+    return (blk.reshape(-1)[:n] > 0).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# K nearest extended hits (soft/differentiable path)
+# ---------------------------------------------------------------------------
+def _knear_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz, tm, ids_o,
+                  t_min: float, k: int, band: float):
+    oxv, oyv, ozv = ox[0], oy[0], oz[0]
+    dxv, dyv, dzv = dx[0], dy[0], dz[0]
+    tmax = tm[0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    big_id = jnp.int32(2**31 - 1)
+
+    def insert(ts, ids, t, tid, ok):
+        """Bubble (t, tid) into the per-ray sorted k-lists (tuples of (8,128)
+        tiles), lexicographic on (t, id) — identical ordering to
+        accel/packet's positional insert."""
+        tc = jnp.where(ok, t, T_MAX)
+        ic = jnp.where(ok, tid, big_id)  # (T_MAX, big) never displaces pads
+        ts, ids = list(ts), list(ids)
+        for i in range(k):
+            less = (tc < ts[i]) | ((tc == ts[i]) & (ic < ids[i]))
+            ts[i], tc = jnp.where(less, tc, ts[i]), jnp.where(less, ts[i], tc)
+            ids[i], ic = jnp.where(less, ic, ids[i]), jnp.where(less, ids[i], ic)
+        return tuple(ts), tuple(ids)
+
+    def cond(s):
+        return s[0] >= 0
+
+    def body(s):
+        node, ts, ids = s
+        esc = ni[node, 0]
+        leaf_row = ni[node, 1]
+        is_leaf = ni[node, 3] > 0
+        upper = jnp.minimum(ts[k - 1], tmax)
+        boxed = _slab(oxv, oyv, ozv, ix, iy, iz, nf, node, t_min, upper)
+        want = jnp.any(boxed)
+
+        def do_leaf(acc):
+            ts, ids = acc
+            row = rows[leaf_row, :]
+            for j in range(LEAF_CAP):
+                t, u, v, det = _mt_scalar_tri(oxv, oyv, ozv, dxv, dyv, dzv, row, 9 * j)
+                tid = tids[leaf_row, j]
+                ok = (
+                    (jnp.abs(det) > DET_EPS)
+                    & (u >= -band)
+                    & (v >= -band)
+                    & (u + v <= 1.0 + band)
+                    & (t > t_min)
+                    & (t < tmax)
+                    & (tid >= 0)
+                )
+                ts, ids = insert(ts, ids, t, tid, ok)
+            return ts, ids
+
+        ts, ids = jax.lax.cond(want & is_leaf, do_leaf, lambda a: a, (ts, ids))
+        nxt = jnp.where(want & jnp.logical_not(is_leaf), node + 1, esc)
+        return nxt, ts, ids
+
+    init = (
+        jnp.int32(0),
+        tuple(jnp.full((SUB, LANE), T_MAX, jnp.float32) for _ in range(k)),
+        tuple(jnp.full((SUB, LANE), big_id, jnp.int32) for _ in range(k)),
+    )
+    _, _, ids = jax.lax.while_loop(cond, body, init)
+    for i in range(k):
+        # unfilled slots carry the big-id sentinel -> emit -1 like the oracle
+        ids_o[0, i] = jnp.where(ids[i] == big_id, -1, ids[i])
+
+
+def k_nearest_ids_pallas(
+    rays: Rays,
+    tris: Triangles,
+    packed: PackedBVH,
+    k: int,
+    band: float,
+    t_min: float = DEFAULT_T_MIN,
+    t_max=T_MAX,
+) -> Array:
+    """Nearest-k extended-hit tri ids per ray, (N, k) int32 (-1 = none)."""
+    if not fits_vmem(packed):
+        from tpurt.accel.packet import k_nearest_ids_packet
+
+        return k_nearest_ids_packet(rays, tris, packed, k, band, t_min, t_max)
+    shape = rays.shape
+    tmax_flat = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
+    (ox, oy, oz, dx, dy, dz, tm), p, n = _pad_tiles(rays, tmax_flat)
+    ids = pl.pallas_call(
+        functools.partial(_knear_kernel, t_min=t_min, k=k, band=band),
+        grid=(p,),
+        in_specs=_bvh_specs() + [_ray_spec()] * 7,
+        out_specs=pl.BlockSpec(
+            (1, k, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((p, k, SUB, LANE), jnp.int32),
+        interpret=_interpret(),
+    )(packed.node_f32, packed.node_i32, packed.tri_rows, packed.tri_ids,
+      ox, oy, oz, dx, dy, dz, tm)
+    # (p, k, 8, 128) -> (p*1024, k)
+    ids = jnp.moveaxis(ids, 1, 3).reshape(-1, k)
+    return ids[:n]
