@@ -88,7 +88,7 @@ def _bwd(res, cot):
     tv_bar = bc(A_bar, p)
     d_bar = bc(B_bar, q)
     e1_bar = bc(det_bar, p)
-    e2_bar = jnp.zeros_like(e1_bar)
+    e2_bar = bc(C_bar, q)  # direct dt/de2 term: t = dot(e2, q) * inv
 
     # q = tv x e1
     tv_bar = tv_bar + cross(e1, q_bar)

@@ -42,7 +42,11 @@ def _local_closest(o, d, v0, v1, v2, gid, t_min):
         o[:, None, :], d[:, None, :], v0[None], v1[None], v2[None], t_min
     )
     t = jnp.where(hit & (gid >= 0)[None, :], t, T_MAX)
-    j = jnp.argmin(t, axis=1)
+    # Lexicographic (t, gid) winner so exact-t ties resolve to the lowest
+    # ORIGINAL tri id — mirrors the packet engine's tie-break (ADVICE r1).
+    tmin = jnp.min(t, axis=1, keepdims=True)
+    gkey = jnp.where(t == tmin, gid[None, :], jnp.int32(2**31 - 1))
+    j = jnp.argmin(gkey, axis=1)
     r = jnp.arange(t.shape[0])
     tb = t[r, j]
     ok = tb < T_MAX
@@ -82,7 +86,7 @@ def ring_trace(
     def run(o_sh, d_sh, v0, v1, v2, gid):
         perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
         r = o_sh.shape[0]
-        init = (o_sh, d_sh) + lax.pvary(
+        init = (o_sh, d_sh) + lax.pcast(
             (
                 jnp.full((r,), T_MAX, jnp.float32),
                 jnp.zeros((r,), jnp.float32),
@@ -90,12 +94,14 @@ def ring_trace(
                 jnp.full((r,), -1, jnp.int32),
             ),
             axis_name,
+            to="varying",
         )
 
         def step(_, carry):
             o_c, d_c, bt, bu, bv, bg = carry
             t, u, v, g = _local_closest(o_c, d_c, v0, v1, v2, gid, t_min)
-            better = t < bt
+            # same lexicographic (t, id) fold as the per-chunk winner
+            better = (t < bt) | ((t == bt) & (g < bg) & (bg >= 0))
             bt = jnp.where(better, t, bt)
             bu = jnp.where(better, u, bu)
             bv = jnp.where(better, v, bv)
@@ -124,6 +130,8 @@ def ring_occluded(
     """Any-hit over the ring: True where segment (t_min, t_max) is blocked by
     any partition's triangles. t_max: per-ray, same shape as rays."""
     n_dev = mesh.shape[axis_name]
+    if part.n_parts != n_dev:
+        raise ValueError(f"partition has {part.n_parts} parts, mesh has {n_dev}")
     shape = rays.shape
     o = rays.o.reshape(-1, 3)
     d = rays.d.reshape(-1, 3)
@@ -143,7 +151,7 @@ def ring_occluded(
             o_sh,
             d_sh,
             tm_sh,
-            lax.pvary(jnp.zeros(o_sh.shape[:1], bool), axis_name),
+            lax.pcast(jnp.zeros(o_sh.shape[:1], bool), axis_name, to="varying"),
         )
 
         def step(_, carry):

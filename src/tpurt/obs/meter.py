@@ -29,6 +29,8 @@ class Meter:
     def stop(self, n: float) -> float:
         """End the region started by `start`, crediting n items; returns the
         region's rate."""
+        if self._t0 is None:
+            raise RuntimeError("Meter.stop() called without a prior start()")
         dt = time.perf_counter() - self._t0
         self._t0 = None
         self.count += n

@@ -26,6 +26,7 @@ from tpurt.accel.intersect import (
 from tpurt.core.geometry import Hit, KHits, Rays
 from tpurt.core.scene import Scene
 from tpurt.core.math import sample_square
+from tpurt.diff.intersect_vjp import intersect_tuv
 from tpurt.diff.softvis import (
     composite,
     coverage,
@@ -233,14 +234,12 @@ def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
     v2 = tris.verts[f[..., 2]]
     e1 = v1 - v0
     e2 = v2 - v0
+    # (t, u, v) via the analytic custom VJP (diff/intersect_vjp.py): same
+    # formulas/values as the inline MT it replaced, but backward keeps only
+    # the five primal inputs live instead of autodiff residuals.
+    t, u, v = intersect_tuv(rays.o, rays.d, v0, v1, v2)
     pvec = jnp.cross(rays.d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = det / (det * det + 1e-12)
-    tvec = rays.o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(rays.d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     p = rays.o + t[..., None] * rays.d
     n_raw = jnp.cross(e1, e2)
     n_len = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-20)
