@@ -1,13 +1,26 @@
 """Benchmark harness: primary rays/s/chip on the target scene.
 
 Run by the driver on real TPU hardware at the end of every round; prints ONE
-JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+JSON line on stdout:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+— always, even when individual engines fail (VERDICT r1 weak #3: a bench
+harness must degrade, subset, and report — never crash).
+
+Design:
+- Rays are benchmarked on a flat CHUNK of the frame's rays (default 256K).
+  rays/s is a rate, so timing a subset is an honest measurement and bounds
+  the worst-case wall time of a slow engine at any scene size.
+- Methods are tried in a fallback chain; the JSON row reports BOTH the
+  requested method and the engine that actually ran (no silent substitution:
+  kernels/traverse.py's VMEM fallback is resolved here, up front).
+- Every stage (scene gen, BVH build, compile, run) is wrapped; on total
+  failure the row carries value 0 and an "error" field, rc stays 0.
 
 Baseline (BASELINE.json:5): >= 100M primary rays/s/chip forward on a
 1M-triangle scene.  vs_baseline is value / 100e6.
 
 Usage: python bench.py [--scene sponza] [--tris 1000000] [--width 1920]
-                       [--height 1080] [--method auto] [--mode fwd]
+                       [--height 1088] [--method auto] [--mode fwd|fwd_bwd]
+                       [--bench-rays 262144] [--staged]
 """
 
 from __future__ import annotations
@@ -23,62 +36,93 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
 BASELINE_RAYS_PER_S = 100e6
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="sponza")
-    ap.add_argument("--tris", type=int, default=1_000_000)
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1088)
-    ap.add_argument(
-        "--method", default="auto", help="auto|pallas|bvh|brute (auto = best available)"
-    )
-    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwd_bwd"])
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--warmup", type=int, default=2)
-    args = ap.parse_args()
+def log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: cold-compile cost is paid once per
+    machine, not once per bench invocation."""
+    try:
+        import jax
+
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "jax_tpurt")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        log(f"compile cache unavailable: {e}")
+
+
+def resolve_engine(method: str, tracer) -> str:
+    """The engine that will ACTUALLY run for this tracer (surfaces the
+    pallas->packet VMEM fallback instead of lying about it)."""
+    if method == "pallas" and tracer.packed is not None:
+        from tpurt.kernels.traverse import fits_vmem
+
+        if not fits_vmem(tracer.packed):
+            return "packet"
+    return method
+
+
+def _bench_chunk(fn, args, n_rays: int, iters: int, warmup: int,
+                 min_seconds: float = 0.5):
+    """Compile + time fn(*args); returns (rays_per_s, ms_per_call, compile_s)."""
+    import jax
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    # Run at least `iters` calls and at least `min_seconds` of wall time.
+    done = 0
+    t0 = time.perf_counter()
+    while True:
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        done += iters
+        dt = time.perf_counter() - t0
+        if dt >= min_seconds or done >= 100 * iters:
+            break
+    per_call = dt / done
+    return n_rays / per_call, per_call * 1e3, compile_s
+
+
+def run_one(scene, cam, method: str, mode: str, bench_rays: int,
+            iters: int, warmup: int) -> dict:
+    """Benchmark one (scene, method, mode); raises on failure."""
     import jax
     import jax.numpy as jnp
 
     from tpurt.core.geometry import Rays
-    from tpurt.core.scene import get_scene
     from tpurt.render.camera import gen_primary_rays
     from tpurt.render.pipeline import make_tracer, render_rays
 
-    dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
-
-    kw = {}
-    if args.scene in ("sponza", "sponza5m"):
-        kw = dict(num_tris=args.tris, width=args.width, height=args.height)
-    scene, cam = get_scene(args.scene, **kw)
-
-    method = args.method
-    if method == "auto":
-        try:
-            from tpurt.kernels.traverse import traverse_pallas  # noqa: F401
-
-            method = "pallas" if dev.platform != "cpu" else "bvh"
-        except ImportError:
-            method = "bvh"
-    print(f"# scene={args.scene} tris={scene.num_tris} "
-          f"rays={cam.num_pixels} method={method}", file=sys.stderr)
+    soft = mode == "fwd_bwd"
+    rkw = dict(soft=True, k_layers=4, sharpness=40.0, band=0.08)
 
     t0 = time.perf_counter()
-    tracer = make_tracer(scene, method=method)
-    jax.block_until_ready(tracer.bvh.flat_lo if tracer.bvh is not None else scene.tris.verts)
-    print(f"# bvh build: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    tracer = make_tracer(scene, method=method, band=rkw["band"] if soft else 0.0)
+    jax.block_until_ready(
+        tracer.bvh.flat_lo if tracer.bvh is not None else scene.tris.verts
+    )
+    build_s = time.perf_counter() - t0
+    engine = resolve_engine(method, tracer)
+    log(f"bvh build+pack: {build_s:.2f}s  engine_ran={engine}")
 
     rays = gen_primary_rays(cam)
-    n_rays = cam.num_pixels
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+    n = min(bench_rays, o.shape[0])
+    o, d = o[:n], d[:n]
 
-    if args.mode == "fwd":
+    if mode == "fwd":
         fn = jax.jit(lambda tr, o, d: render_rays(tr, Rays(o=o, d=d)))
-        metric = "primary_rays_per_s_per_chip_fwd"
+        args = (tracer, o, d)
     else:
-        rkw = dict(soft=True, k_layers=4, sharpness=40.0, band=0.08)
-        tracer = make_tracer(scene, method=method, band=rkw["band"])
-
         def loss(verts, tr, o, d):
             sc = tr.scene
             sc = sc.replace(tris=sc.tris.replace(verts=verts))
@@ -87,29 +131,128 @@ def main() -> None:
 
         g = jax.grad(loss)
         fn = jax.jit(lambda tr, o, d: g(tr.scene.tris.verts, tr, o, d))
-        metric = "primary_rays_per_s_per_chip_fwd_bwd"
+        args = (tracer, o, d)
 
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(tracer, rays.o, rays.d))
-    print(f"# compile+first run: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
-    for _ in range(args.warmup):
-        out = fn(tracer, rays.o, rays.d)
-    jax.block_until_ready(out)
+    rays_per_s, ms, compile_s = _bench_chunk(fn, args, n, iters, warmup)
+    log(f"{method}/{mode}: compile {compile_s:.1f}s, {ms:.2f} ms / {n} rays "
+        f"= {rays_per_s/1e6:.2f}M rays/s")
+    return {
+        "rays_per_s": rays_per_s,
+        "engine_ran": engine,
+        "bench_rays": n,
+        "build_s": round(build_s, 3),
+        "compile_s": round(compile_s, 2),
+        "ms_per_call": round(ms, 3),
+    }
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn(tracer, rays.o, rays.d)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
 
-    rays_per_s = n_rays / dt
-    print(f"# {dt*1e3:.2f} ms/frame", file=sys.stderr)
-    print(json.dumps({
-        "metric": metric,
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
-    }))
+FALLBACK_CHAIN = ["pallas", "packet", "wave", "bvh", "brute"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="sponza")
+    ap.add_argument("--tris", type=int, default=1_000_000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument(
+        "--method", default="auto",
+        help="auto|pallas|packet|wave|bvh|brute (auto = best available)",
+    )
+    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwd_bwd"])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--bench-rays", type=int, default=262144)
+    ap.add_argument("--staged", action="store_true",
+                    help="also run BASELINE.md staged configs 1-3 (rows on stderr)")
+    args = ap.parse_args()
+
+    metric = f"primary_rays_per_s_per_chip_{args.mode}"
+    row = {"metric": metric, "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}
+
+    try:
+        _enable_compile_cache()
+        import jax
+
+        from tpurt.core.scene import get_scene
+
+        dev = jax.devices()[0]
+        log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+        kw = {}
+        if args.scene in ("sponza", "sponza5m"):
+            kw = dict(num_tris=args.tris, width=args.width, height=args.height)
+        scene, cam = get_scene(args.scene, **kw)
+        log(f"scene={args.scene} tris={scene.tris.num_tris} "
+            f"frame_rays={cam.num_pixels} bench_rays<={args.bench_rays}")
+
+        if args.method == "auto":
+            chain = [m for m in FALLBACK_CHAIN
+                     if dev.platform != "cpu" or m not in ("pallas",)]
+        else:
+            chain = [args.method]
+
+        result, used = None, None
+        for m in chain:
+            try:
+                result = run_one(scene, cam, m, args.mode,
+                                 args.bench_rays, args.iters, args.warmup)
+                used = m
+                break
+            except Exception as e:  # degrade to the next engine, keep going
+                log(f"method {m} failed: {type(e).__name__}: {e}")
+        if result is None:
+            raise RuntimeError(f"all methods failed: {chain}")
+
+        row.update(
+            value=result["rays_per_s"],
+            vs_baseline=result["rays_per_s"] / BASELINE_RAYS_PER_S,
+            method=used,
+            engine_ran=result["engine_ran"],
+            scene=args.scene,
+            tris=int(scene.tris.num_tris),
+            bench_rays=result["bench_rays"],
+            build_s=result["build_s"],
+            compile_s=result["compile_s"],
+        )
+
+        if args.staged:
+            _run_staged(args)
+    except Exception as e:
+        log(f"FATAL: {type(e).__name__}: {e}")
+        row["error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(row), flush=True)
+
+
+def _run_staged(args) -> None:
+    """BASELINE.md staged configs 1-3; one row each on stderr."""
+    from tpurt.core.scene import get_scene
+
+    configs = [
+        ("1-cornell", "cornell", {}, 256 * 256),
+        ("2-bunny", "bunny", {}, 512 * 512),
+        ("3-sponza1m", "sponza", dict(num_tris=1_000_000, width=1920, height=1088),
+         args.bench_rays),
+    ]
+    for name, sc_name, kw, nrays in configs:
+        for mode in ("fwd", "fwd_bwd"):
+            try:
+                scene, cam = get_scene(sc_name, **kw)
+                chain = [args.method] if args.method != "auto" else FALLBACK_CHAIN
+                for m in chain:
+                    try:
+                        r = run_one(scene, cam, m, mode, nrays, args.iters,
+                                    args.warmup)
+                        print(json.dumps({
+                            "staged_config": name, "mode": mode, "method": m,
+                            **r,
+                        }), file=sys.stderr, flush=True)
+                        break
+                    except Exception as e:
+                        log(f"staged {name}/{mode}/{m} failed: {e}")
+            except Exception as e:
+                log(f"staged {name}/{mode} failed entirely: {e}")
 
 
 if __name__ == "__main__":
