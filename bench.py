@@ -165,7 +165,15 @@ def main() -> None:
     ap.add_argument("--bench-rays", type=int, default=262144)
     ap.add_argument("--staged", action="store_true",
                     help="also run BASELINE.md staged configs 1-3 (rows on stderr)")
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                    help="cpu forces the CPU backend in-process (the "
+                         "JAX_PLATFORMS env var is pre-empted by sitecustomize)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     metric = f"primary_rays_per_s_per_chip_{args.mode}"
     row = {"metric": metric, "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}

@@ -77,22 +77,33 @@ def pack_bvh(tris: Triangles, bvh: BVH, n_leaves: int | None = None) -> PackedBV
     rank of the leaf among flat leaves; triangle slots hold corner/edge
     vectors gathered via the Morton order (bvh.tri_order).
 
+    The flat arrays in `bvh` have 2N-1 rows but only the LIVE prefix (nodes
+    above/at the treelet cut) is meaningful; the cut tree is a full binary
+    tree over its leaves, so the live count is exactly 2*n_leaves-1 and the
+    packed node arrays are sliced to it — 5x smaller at leaf_size=8, which is
+    the difference between fitting the Pallas kernels' VMEM budget or not.
+
     n_leaves (shape-determining) must be passed explicitly under jit:
     int(bvh.flat_is_leaf.sum()) computed outside.
     """
     if bvh.leaf_size > LEAF_CAP:
         raise ValueError(f"leaf_size {bvh.leaf_size} > packable {LEAF_CAP}")
     m = bvh.num_flat
+    if n_leaves is None:
+        n_leaves = int(jnp.sum(bvh.flat_is_leaf))
+    n_live = 2 * n_leaves - 1
+    flat_lo = bvh.flat_lo[:n_live]
+    flat_hi = bvh.flat_hi[:n_live]
+    is_leaf = bvh.flat_is_leaf[:n_live]
     node_f32 = jnp.concatenate(
-        [bvh.flat_lo, bvh.flat_hi, jnp.zeros((m, 2), jnp.float32)], axis=1
+        [flat_lo, flat_hi, jnp.zeros((n_live, 2), jnp.float32)], axis=1
     )
-    is_leaf = bvh.flat_is_leaf
     leaf_row = jnp.cumsum(is_leaf.astype(jnp.int32)) - 1  # rank among leaves
     node_i32 = jnp.stack(
         [
-            bvh.flat_escape,
+            bvh.flat_escape[:n_live],
             jnp.where(is_leaf, leaf_row, 0),
-            jnp.zeros((m,), jnp.int32),
+            jnp.zeros((n_live,), jnp.int32),
             is_leaf.astype(jnp.int32),
         ],
         axis=1,
@@ -100,25 +111,23 @@ def pack_bvh(tris: Triangles, bvh: BVH, n_leaves: int | None = None) -> PackedBV
 
     # Leaf-major triangle packing. Rows for non-leaf flat slots are dropped by
     # scattering through leaf_row (mode='drop' for non-leaves).
-    if n_leaves is None:
-        n_leaves = int(jnp.sum(is_leaf))
     slot = jnp.arange(LEAF_CAP)
-    # sorted-space triangle index for each (flat node, slot)
-    si = bvh.flat_first[:, None] + slot[None, :]
-    in_range = slot[None, :] < bvh.flat_count[:, None]
+    # sorted-space triangle index for each (live flat node, slot)
+    si = bvh.flat_first[:n_live, None] + slot[None, :]
+    in_range = slot[None, :] < bvh.flat_count[:n_live, None]
     si = jnp.clip(si, 0, bvh.num_tris - 1)
-    tid = jnp.where(in_range, bvh.tri_order[si], -1)  # (m, LEAF_CAP)
+    tid = jnp.where(in_range, bvh.tri_order[si], -1)  # (n_live, LEAF_CAP)
 
     v0, v1, v2 = tris.corners()
     g = jnp.maximum(tid, 0)
     tv0 = jnp.where(in_range[..., None], v0[g], 0.0)
     te1 = jnp.where(in_range[..., None], v1[g] - v0[g], 0.0)
     te2 = jnp.where(in_range[..., None], v2[g] - v0[g], 0.0)
-    rows = jnp.concatenate([tv0, te1, te2], axis=-1)  # (m, LEAF_CAP, 9)
-    rows = rows.reshape(m, LEAF_CAP * 9)
+    rows = jnp.concatenate([tv0, te1, te2], axis=-1)  # (n_live, LEAF_CAP, 9)
+    rows = rows.reshape(n_live, LEAF_CAP * 9)
     rows = jnp.pad(rows, ((0, 0), (0, 128 - LEAF_CAP * 9)))
 
-    row_idx = jnp.where(is_leaf, leaf_row, m)  # non-leaves -> dropped
+    row_idx = jnp.where(is_leaf, leaf_row, n_live)  # non-leaves -> dropped
     tri_rows = jnp.zeros((n_leaves, 128), jnp.float32).at[row_idx].set(
         rows, mode="drop"
     )
@@ -138,9 +147,10 @@ def refit_packed(packed: PackedBVH, bvh: BVH, tris: Triangles) -> PackedBVH:
     """Jittable layout update after vertices moved: new node AABBs come from
     an already-refit BVH (accel/refit.py); leaf triangle rows are regathered
     through the frozen tri_ids topology. Shapes are static."""
-    m = bvh.num_flat
+    n_live = packed.num_nodes
     node_f32 = jnp.concatenate(
-        [bvh.flat_lo, bvh.flat_hi, jnp.zeros((m, 2), jnp.float32)], axis=1
+        [bvh.flat_lo[:n_live], bvh.flat_hi[:n_live],
+         jnp.zeros((n_live, 2), jnp.float32)], axis=1
     )
     in_range = packed.tri_ids >= 0
     g = jnp.maximum(packed.tri_ids, 0)
@@ -280,13 +290,17 @@ def traverse_packet(
             nxt = jnp.where(want & (ni[3] == 0), node + 1, ni[0])
             return nxt, t_b, u_b, v_b, id_b
 
-        k = o.shape[0]
+        # Loop-carry inits are derived from o so their varying-manual-axes
+        # match the body outputs under shard_map (dist/ring.py runs this
+        # engine per-shard; constants would be vma-unvarying and lax.cond /
+        # while_loop reject the mismatch).
+        zero = (jnp.min(o[:, 0]) * 0).astype(jnp.int32)
         init = (
-            jnp.int32(0),
-            jnp.full((k,), T_MAX, jnp.float32),
-            jnp.zeros((k,), jnp.float32),
-            jnp.zeros((k,), jnp.float32),
-            jnp.full((k,), -1, jnp.int32),
+            zero,
+            jnp.full_like(o[:, 0], T_MAX),
+            jnp.zeros_like(o[:, 0]),
+            jnp.zeros_like(o[:, 0]),
+            jnp.full_like(o[:, 0], -1, dtype=jnp.int32),
         )
         _, t, u, v, tid = jax.lax.while_loop(cond, body, init)
         return t, u, v, tid
@@ -358,9 +372,9 @@ def occluded_packet(
             nxt = jnp.where(want & (ni[3] == 0), node + 1, ni[0])
             return nxt, blocked
 
-        k = o.shape[0]
+        zero = (jnp.min(o[:, 0]) * 0).astype(jnp.int32)  # vma: see traverse
         _, blocked = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((k,), bool))
+            cond, body, (zero, jnp.zeros_like(o[:, 0], dtype=bool))
         )
         return blocked
 
@@ -453,10 +467,12 @@ def k_nearest_ids_packet(
             nxt = jnp.where(want & (ni[3] == 0), node + 1, ni[0])
             return nxt, ts, ids
 
+        zero = (jnp.min(o[:, 0]) * 0).astype(jnp.int32)  # vma: see traverse
+        base = jnp.zeros_like(o[:, 0])[:, None] + jnp.zeros((1, k), jnp.float32)
         init = (
-            jnp.int32(0),
-            jnp.full((kr, k), T_MAX, jnp.float32),
-            jnp.full((kr, k), -1, jnp.int32),
+            zero,
+            base + T_MAX,
+            base.astype(jnp.int32) - 1,
         )
         _, _, ids = jax.lax.while_loop(cond, body, init)
         return ids

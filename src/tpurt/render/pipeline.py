@@ -35,7 +35,13 @@ from tpurt.diff.softvis import (
     soft_occlusion_brute,
 )
 from tpurt.render.camera import gen_primary_rays
-from tpurt.render.shade import face_forward, light_dirs, shade_lambert
+from tpurt.render.shade import (
+    area_light_contrib,
+    face_forward,
+    light_dirs,
+    sample_emitters,
+    shade_lambert,
+)
 
 Array = jax.Array
 
@@ -260,20 +266,46 @@ def _shade_layer(
     soft: bool,
     sharpness: float,
     band: float,
+    light_samples: int = 0,
+    key: Array | None = None,
 ):
-    """Shade one hit layer; returns (color (R,3), u, v, cos_dn)."""
+    """Shade one hit layer; returns (color (R,3), u, v, cos_dn).
+
+    light_samples > 0 adds Monte-Carlo direct lighting from the scene's
+    emissive triangles (area lights -> physically-based soft shadows); the
+    emitter sample points are shared across the ray batch per call.
+    """
     scene = tracer.scene
     _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rays, scene, tri_id)
     wi, dist, _ = light_dirs(p, scene.lights)
     # Shadow rays: one per (ray, light); flatten lights into the ray batch.
     L = scene.lights.pos.shape[0]
-    o_sh = (p + SHADOW_EPS * n)[:, None, :].repeat(L, axis=1).reshape(-1, 3)
-    d_sh = wi.reshape(-1, 3)
-    t_sh = (dist * SHADOW_T_FRAC).reshape(-1)
-    vis = tracer.visibility(
-        Rays(o=o_sh, d=d_sh), t_max=t_sh, soft=soft, sharpness=sharpness, band=band
-    ).reshape(-1, L)
+    o_surf = p + SHADOW_EPS * n
+    if L > 0:
+        o_sh = o_surf[:, None, :].repeat(L, axis=1).reshape(-1, 3)
+        d_sh = wi.reshape(-1, 3)
+        t_sh = (dist * SHADOW_T_FRAC).reshape(-1)
+        vis = tracer.visibility(
+            Rays(o=o_sh, d=d_sh), t_max=t_sh, soft=soft, sharpness=sharpness,
+            band=band,
+        ).reshape(-1, L)
+    else:  # area-light-only scenes: no point-light shadow rays to trace
+        vis = jnp.zeros((p.shape[0], 0), jnp.float32)
     color = shade_lambert(p, n, albedo, emission, scene.lights, vis, scene.ambient)
+
+    if light_samples > 0 and key is not None:
+        lp, ln_, le, pdf, _ = sample_emitters(key, scene.tris, light_samples)
+        delta = lp[None, :, :] - o_surf[:, None, :]  # (R, S, 3)
+        ldist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12))
+        lwi = delta / ldist[..., None]
+        o_al = o_surf[:, None, :].repeat(light_samples, axis=1).reshape(-1, 3)
+        vis_al = tracer.visibility(
+            Rays(o=o_al, d=lwi.reshape(-1, 3)),
+            t_max=(ldist * SHADOW_T_FRAC).reshape(-1),
+            soft=soft, sharpness=sharpness, band=band,
+        ).reshape(-1, light_samples)
+        color = color + area_light_contrib(p, n, albedo, lp, ln_, le, pdf, vis_al)
+
     color = jnp.where(valid[..., None], color, 0.0)
     return color, u, v, cos_dn
 
@@ -289,18 +321,23 @@ def render_rays(
     k_layers: int = 4,
     sharpness: float = 100.0,
     band: float = 0.08,
+    light_samples: int = 0,
+    key: Array | None = None,
 ) -> Array:
     """Radiance for a flat batch of rays -> (R, 3).
 
     soft=False: hard closest-hit render (fast path).
     soft=True: alpha-composited K-layer soft render — the differentiable
     forward model whose jax.grad matches finite differences (diff/softvis.py).
+    light_samples/key: Monte-Carlo area-light sampling of emissive triangles
+    (render/shade.sample_emitters) on top of the point lights.
     """
     scene = tracer.scene
     if not soft:
         hit = tracer.closest(rays)
         color, _, _, _ = _shade_layer(
-            tracer, rays, hit.tri, hit.valid, False, sharpness, band
+            tracer, rays, hit.tri, hit.valid, False, sharpness, band,
+            light_samples, key,
         )
         bg = jnp.broadcast_to(scene.background, color.shape)
         return jnp.where(hit.valid[..., None], color, bg)
@@ -315,7 +352,7 @@ def render_rays(
         tid = kh.tri[..., i]
         valid = tid >= 0
         color, u, v, cos_dn = _shade_layer(
-            tracer, rays, tid, valid, True, sharpness, band
+            tracer, rays, tid, valid, True, sharpness, band, light_samples, key
         )
         alpha = coverage(u, v, sharpness, valid) * det_gate(cos_dn)
         return color, alpha
@@ -342,8 +379,13 @@ def render(
     band: float = 0.08,
     spp: int = 1,
     key: Array | None = None,
+    light_samples: int = 0,
 ) -> Array:
-    """Render an image (H, W, 3) linear radiance."""
+    """Render an image (H, W, 3) linear radiance.
+
+    light_samples > 0 (requires `key`) turns emissive triangles into sampled
+    area lights; combine with spp > 1 for converged soft shadows.
+    """
     if tracer is None:
         # Soft renders need band-inflated node AABBs or extended near-miss
         # hits fall outside the boxes and get culled engine-dependently.
@@ -351,21 +393,23 @@ def render(
     else:
         tracer = tracer.replace(scene=scene)
 
-    def one_sample(jitter):
+    def one_sample(jitter, skey):
         rays = gen_primary_rays(cam, jitter)
         return render_rays(
             tracer, rays, soft=soft, k_layers=k_layers,
             sharpness=sharpness, band=band,
+            light_samples=light_samples, key=skey,
         )
 
     if spp <= 1 or key is None:
-        img = one_sample(None)
+        img = one_sample(None, key)
     else:
         keys = jax.random.split(key, spp)
 
         def body(carry, k):
-            jit2 = sample_square(k, (cam.num_pixels,))
-            return carry + one_sample(jit2), None
+            k1, k2 = jax.random.split(k)
+            jit2 = sample_square(k1, (cam.num_pixels,))
+            return carry + one_sample(jit2, k2), None
 
         img, _ = jax.lax.scan(body, jnp.zeros((cam.num_pixels, 3)), keys)
         img = img / spp

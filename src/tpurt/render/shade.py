@@ -61,3 +61,71 @@ def shade_lambert(
 def face_forward(n: Array, d: Array) -> Array:
     """Flip normals to face the incoming ray (double-sided shading)."""
     return jnp.where(dot(n, d, keepdims=True) > 0.0, -n, n)
+
+
+# ---------------------------------------------------------------------------
+# Area lights: emissive triangles sampled by area (SURVEY.md §2b #13; the
+# `emission` field was carried but never sampled in round 1, VERDICT #10).
+# ---------------------------------------------------------------------------
+def sample_emitters(key: Array, tris, num: int):
+    """Sample `num` points on the scene's emissive triangles.
+
+    Faces are chosen proportional to area x mean emission and points
+    uniformly by barycentric warp, so the returned pdf is w.r.t. AREA:
+    pdf_k = weight_k / (A_k * sum(weights)).  Returns
+    (points (S,3), normals (S,3), Le (S,3), pdf (S,), any_emitter: bool
+    scalar array).  All shapes static; scenes without emitters return
+    pdf = 0 (callers scale contributions by pdf-safe weights).
+    """
+    v0, v1, v2 = tris.corners()
+    n_raw = jnp.cross(v1 - v0, v2 - v0)
+    area = 0.5 * jnp.sqrt(jnp.maximum(dot(n_raw, n_raw), 1e-30))
+    lum = jnp.mean(tris.emission, axis=-1)
+    w = area * lum  # (F,)
+    total_w = jnp.sum(w)
+    any_emitter = total_w > 0.0
+    probs = jnp.where(any_emitter, w / jnp.maximum(total_w, 1e-30), 0.0)
+
+    kf, kb = jax.random.split(key)
+    # Discrete face choice is structure, not a differentiable quantity.
+    face = jax.lax.stop_gradient(
+        jax.random.categorical(kf, jnp.log(jnp.maximum(probs, 1e-30)), shape=(num,))
+    )
+    r = jax.random.uniform(kb, (num, 2))
+    su = jnp.sqrt(r[:, 0:1])
+    b0 = 1.0 - su
+    b1 = r[:, 1:2] * su
+    b2 = 1.0 - b0 - b1
+    p = b0 * v0[face] + b1 * v1[face] + b2 * v2[face]
+    nl = n_raw[face]
+    nl = nl / jnp.sqrt(jnp.maximum(dot(nl, nl, keepdims=True), 1e-30))
+    le = tris.emission[face]
+    pdf = probs[face] / jnp.maximum(area[face], 1e-30)  # area-measure pdf
+    return p, nl, le, pdf, any_emitter
+
+
+def area_light_contrib(
+    p: Array,
+    n: Array,
+    albedo: Array,
+    lp: Array,
+    ln_: Array,
+    le: Array,
+    pdf: Array,
+    visibility: Array,
+) -> Array:
+    """Monte-Carlo direct lighting from sampled emitter points.
+
+    p, n, albedo: (R, 3); lp/ln_/le: (S, 3); pdf: (S,); visibility: (R, S).
+    Returns (R, 3): mean over samples of
+    albedo/pi * Le * cos_s * cos_l / r^2 / pdf * vis.
+    """
+    delta = lp[None, :, :] - p[:, None, :]  # (R, S, 3)
+    r2 = jnp.maximum(dot(delta, delta), 1e-8)
+    wi = delta / jnp.sqrt(r2)[..., None]
+    cos_s = jnp.maximum(dot(wi, n[:, None, :]), 0.0)  # (R, S)
+    cos_l = jnp.abs(dot(wi, ln_[None, :, :]))  # double-sided emitter
+    g = cos_s * cos_l / r2 * visibility / jnp.maximum(pdf[None, :], 1e-30)
+    g = jnp.where(pdf[None, :] > 0, g, 0.0)
+    mc = jnp.mean(g[..., None] * le[None, :, :], axis=1)  # (R, 3)
+    return albedo * INV_PI * mc
