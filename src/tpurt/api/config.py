@@ -17,7 +17,7 @@ from typing import Any
 class RenderConfig:
     """All render-path knobs."""
 
-    method: str = "bvh"  # 'brute' | 'bvh' | 'pallas'
+    method: str = "bvh"  # 'brute' | 'bvh' | 'packet' | 'wave' | 'pallas'
     leaf_size: int = 8
     spp: int = 1
     # soft/differentiable path

@@ -92,3 +92,49 @@ def test_k_nearest_matches_packet(case, k, band):
     got = k_nearest_ids_pallas(rays, tris, packed, k=k, band=band)
     ref = k_nearest_ids_packet(rays, tris, packed, k=k, band=band)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_hbm_tier_matches_packet(case, monkeypatch):
+    """Force the HBM-tiered path (tri rows DMA'd per leaf visit) by shrinking
+    the VMEM budget below the tri-row footprint: results must stay identical
+    to the resident path/packet oracle (VERDICT r1 missing #3)."""
+    import tpurt.kernels.traverse as kt
+
+    tris, rays, packed = case
+    budget = kt.node_bytes(packed) + 64  # nodes fit, tris don't
+    monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", budget)
+    assert not kt.fits_vmem(packed) and kt.nodes_fit_vmem(packed)
+    got = kt.traverse_pallas(rays, tris, packed)
+    ref = traverse_packet(rays, tris, packed)
+    assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    tmax = jnp.full(rays.shape, 2.5, jnp.float32)
+    occ = kt.occluded_pallas(rays, tris, packed, tmax)
+    occ_ref = occluded_packet(rays, tris, packed, tmax)
+    assert np.array_equal(np.asarray(occ), np.asarray(occ_ref))
+    ids = kt.k_nearest_ids_pallas(rays, tris, packed, k=4, band=0.1)
+    ids_ref = k_nearest_ids_packet(rays, tris, packed, k=4, band=0.1)
+    assert np.array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_bf16_node_tier_matches_packet(case, monkeypatch):
+    """bf16-quantized nodes (conservative rounding) may only ADD node visits;
+    closest-hit results stay bitwise identical because accept tests use the
+    exact f32 triangle data."""
+    import tpurt.kernels.traverse as kt
+
+    tris, rays, packed = case
+    q = kt.quantize_nodes_bf16(packed)
+    assert q.node_f32.dtype == jnp.bfloat16
+    # conservative: every quantized box contains its f32 original
+    lo_q = np.asarray(q.node_f32[:, 0:3].astype(jnp.float32))
+    hi_q = np.asarray(q.node_f32[:, 3:6].astype(jnp.float32))
+    assert (lo_q <= np.asarray(packed.node_f32[:, 0:3]) + 1e-30).all()
+    assert (hi_q >= np.asarray(packed.node_f32[:, 3:6]) - 1e-30).all()
+    # budget that forces: f32 nodes too big -> bf16 nodes + HBM tris
+    budget = kt.node_bytes(packed) - 64
+    monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", budget)
+    plan = kt._plan(packed)
+    assert plan is not None and plan[1] and plan[0].node_f32.dtype == jnp.bfloat16
+    got = kt.traverse_pallas(rays, tris, packed)
+    ref = traverse_packet(rays, tris, packed)
+    assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))
