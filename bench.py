@@ -66,8 +66,14 @@ def resolve_engine(method: str, tracer) -> str:
 
 
 def _bench_chunk(fn, args, n_rays: int, iters: int, warmup: int,
-                 min_seconds: float = 0.5):
-    """Compile + time fn(*args); returns (rays_per_s, ms_per_call, compile_s)."""
+                 min_seconds: float = 0.5, profile_dir: str | None = None):
+    """Compile + time fn(*args); returns (rays_per_s, ms_per_call, compile_s).
+
+    profile_dir: capture a jax.profiler trace of a few timed calls — the
+    artifact that shows whether collectives overlap compute (VERDICT #5).
+    """
+    import contextlib
+
     import jax
 
     t0 = time.perf_counter()
@@ -76,23 +82,31 @@ def _bench_chunk(fn, args, n_rays: int, iters: int, warmup: int,
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    if profile_dir:
+        os.makedirs(profile_dir, exist_ok=True)
+        ctx = jax.profiler.trace(profile_dir)
+    else:
+        ctx = contextlib.nullcontext()
     # Run at least `iters` calls and at least `min_seconds` of wall time.
     done = 0
     t0 = time.perf_counter()
-    while True:
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        done += iters
-        dt = time.perf_counter() - t0
-        if dt >= min_seconds or done >= 100 * iters:
-            break
+    with ctx:
+        while True:
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            done += iters
+            dt = time.perf_counter() - t0
+            if dt >= min_seconds or done >= 100 * iters:
+                break
+    if profile_dir:
+        log(f"profiler trace written to {profile_dir}")
     per_call = dt / done
     return n_rays / per_call, per_call * 1e3, compile_s
 
 
 def run_one(scene, cam, method: str, mode: str, bench_rays: int,
-            iters: int, warmup: int) -> dict:
+            iters: int, warmup: int, profile_dir: str | None = None) -> dict:
     """Benchmark one (scene, method, mode); raises on failure."""
     import jax
     import jax.numpy as jnp
@@ -133,7 +147,8 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         fn = jax.jit(lambda tr, o, d: g(tr.scene.tris.verts, tr, o, d))
         args = (tracer, o, d)
 
-    rays_per_s, ms, compile_s = _bench_chunk(fn, args, n, iters, warmup)
+    rays_per_s, ms, compile_s = _bench_chunk(fn, args, n, iters, warmup,
+                                             profile_dir=profile_dir)
     log(f"{method}/{mode}: compile {compile_s:.1f}s, {ms:.2f} ms / {n} rays "
         f"= {rays_per_s/1e6:.2f}M rays/s")
     return {
@@ -168,6 +183,13 @@ def main() -> None:
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
                     help="cpu forces the CPU backend in-process (the "
                          "JAX_PLATFORMS env var is pre-empted by sitecustomize)")
+    ap.add_argument("--sort-bench", action="store_true",
+                    help="benchmark Pallas radix sort vs lax.sort at 1M/5M "
+                         "keys (rows on stderr; SURVEY §7 '#6 decide by "
+                         "benchmark')")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the timed region "
+                         "into this directory (overlap evidence, VERDICT #5)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -204,7 +226,8 @@ def main() -> None:
         for m in chain:
             try:
                 result = run_one(scene, cam, m, args.mode,
-                                 args.bench_rays, args.iters, args.warmup)
+                                 args.bench_rays, args.iters, args.warmup,
+                                 profile_dir=args.profile_dir)
                 used = m
                 break
             except Exception as e:  # degrade to the next engine, keep going
@@ -226,11 +249,51 @@ def main() -> None:
 
         if args.staged:
             _run_staged(args)
+        if args.sort_bench:
+            _run_sort_bench()
     except Exception as e:
         log(f"FATAL: {type(e).__name__}: {e}")
         row["error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(row), flush=True)
+
+
+def _run_sort_bench() -> None:
+    """Pallas radix sort vs XLA lax.sort_key_val: the measurement that picks
+    sort_pairs' default backend (SURVEY §7 '#6')."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.accel.sort_ref import sort_pairs
+
+    rng = np.random.default_rng(0)
+    # interpret-mode Pallas on CPU is a correctness tool, not a benchmark —
+    # keep the CPU smoke tiny; real sizes run on the chip
+    sizes = (1 << 20, 5 << 20) if jax.default_backend() != "cpu" else (1 << 14,)
+    for n in sizes:
+        keys = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+        vals = jnp.arange(n, dtype=jnp.int32)
+        for backend in ("xla", "pallas"):
+            try:
+                f = jax.jit(lambda k, v, b=backend: sort_pairs(k, v, backend=b))
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(f(keys, vals))
+                comp = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                iters = 5
+                for _ in range(iters):
+                    out = f(keys, vals)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / iters
+                print(json.dumps({
+                    "sort_bench": backend, "keys": n,
+                    "ms": round(dt * 1e3, 3),
+                    "mkeys_per_s": round(n / dt / 1e6, 1),
+                    "compile_s": round(comp, 2),
+                }), file=sys.stderr, flush=True)
+            except Exception as e:
+                log(f"sort bench {backend}@{n} failed: {e}")
 
 
 def _run_staged(args) -> None:
