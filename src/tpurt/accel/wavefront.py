@@ -1,6 +1,6 @@
 """Wavefront BVH traversal: all rays advance in lockstep (SURVEY.md §2b #10).
 
-The TPU-fast general-purpose engine.  Why this shape:
+The dense-gather XLA engine.  Why this shape:
 
 - A vmapped per-ray `while_loop` (accel/traverse_ref.py) makes XLA lower the
   per-ray `nodes[cursor]` fetch inside the loop as a one-hot contraction of
@@ -9,18 +9,21 @@ The TPU-fast general-purpose engine.  Why this shape:
   serializes packets through XLA's while-loop overhead (~us/iteration) and
   wastes VPU lanes on rays that don't want the current node.
 
-Here the *whole ray batch* is one dense state: per-ray cursors (R,), per-ray
-phase, per-ray best hit.  One iteration of a single global `lax.while_loop`
-advances every ray one step: node records are fetched with ONE bulk gather
-(R indices — an embedding-style lookup XLA compiles to a real gather,
-~40us for 2M indices on one v5e chip), the slab test and state transitions
-are (R,)-wide VPU ops, and leaf triangles are tested one slot per iteration
-so per-iteration cost is uniform (~80B + ~70 flops per ray).  Iteration
-count = max over rays of (node visits + triangle tests), not the sum —
-rays traverse *different* subtrees concurrently, unlike packets.
+Here the *whole ray batch* is one dense state: per-ray cursors (R,) and
+per-ray best hit.  One iteration of a single global `lax.while_loop` advances
+every ray one NODE: node records are fetched with ONE bulk gather (R indices
+— an embedding-style lookup XLA compiles to a real gather), the slab test and
+state transitions are (R,)-wide VPU ops, and when a ray sits on a wanted leaf
+the leaf's triangles are all tested in that SAME iteration (a static unroll
+of `leaf_size` masked gathers+MT tests).  Round 1 spent one iteration per
+leaf TRIANGLE; whole-leaf steps cut the trip count from
+max(node visits + 8 x leaf visits) to max(node visits) (VERDICT r1 next #1b).
+Iteration count is the max over rays, not the sum — rays traverse different
+subtrees concurrently, unlike packets.
 
 Visit order per ray is identical to the per-ray reference (DFS + escape
-links, lower-id tie-break), so hits match accel/traverse_ref bitwise.
+links, ascending slot order within a leaf, lower-id tie-break), so hits match
+accel/traverse_ref bitwise.
 """
 
 from __future__ import annotations
@@ -33,8 +36,6 @@ from tpurt.accel.lbvh import BVH
 from tpurt.core.geometry import Hit, Rays, T_MAX, Triangles
 
 Array = jax.Array
-
-INTERIOR = jnp.int32(-1)  # slot value: ray is in node-test phase
 
 
 def _safe_inv(d: Array) -> Array:
@@ -91,25 +92,11 @@ def _gather_tri(tris: Triangles, bvh: BVH, si: Array):
     return v0, v1, v2, tid
 
 
-def _step_transitions(node, slot, want, is_leaf, esc, cnt, leaf_done):
-    """Shared cursor update.
-
-    Interior phase: want&leaf -> enter leaf (slot 0); want&!leaf -> descend
-    (node+1); miss -> escape.  Leaf phase: advance slot; after the last
-    slot -> escape.
-    """
-    interior = slot == INTERIOR
-    # interior-phase transitions
-    enter_leaf = interior & want & is_leaf
-    descend = interior & want & ~is_leaf
-    new_node_i = jnp.where(descend, node + 1, jnp.where(enter_leaf, node, esc))
-    new_slot_i = jnp.where(enter_leaf, 0, INTERIOR)
-    # leaf-phase transitions
-    new_node_l = jnp.where(leaf_done, esc, node)
-    new_slot_l = jnp.where(leaf_done, INTERIOR, slot + 1)
-    new_node = jnp.where(interior, new_node_i, new_node_l)
-    new_slot = jnp.where(interior, new_slot_i, new_slot_l)
-    return new_node, new_slot
+def _advance(node, want, is_leaf, esc, active):
+    """Shared cursor update: want&!leaf -> descend (node+1); else escape
+    (a wanted leaf's triangles were already tested this iteration)."""
+    nxt = jnp.where(want & ~is_leaf, node + 1, esc)
+    return jnp.where(active, nxt, -1)
 
 
 def wave_closest(
@@ -125,47 +112,41 @@ def wave_closest(
         return jnp.any(s[0] >= 0)
 
     def body(s):
-        node, slot, t_b, u_b, v_b, id_b = s
+        node, t_b, u_b, v_b, id_b = s
         lo, hi, esc, is_leaf, first, cnt = _gather_node(bvh, node)
         active = node >= 0
-        interior = slot == INTERIOR
-
         want = _slab_batch(o, inv_d, lo, hi, t_min, t_b) & active
+        process = want & is_leaf
 
-        # leaf phase: test one sorted triangle
-        si = first + slot
-        v0, v1, v2, tid = _gather_tri(tris, bvh, si)
-        t, u, v, det = _mt_batch(o, d, v0, v1, v2)
-        better = (t < t_b) | ((t == t_b) & (tid < id_b) & (id_b >= 0))
-        ok = (
-            active
-            & ~interior
-            & (jnp.abs(det) > DET_EPS)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > t_min)
-            & better
-        )
-        t_b = jnp.where(ok, t, t_b)
-        u_b = jnp.where(ok, u, u_b)
-        v_b = jnp.where(ok, v, v_b)
-        id_b = jnp.where(ok, tid, id_b)
+        for j in range(bvh.leaf_size):  # whole leaf in one iteration
+            v0, v1, v2, tid = _gather_tri(tris, bvh, first + j)
+            t, u, v, det = _mt_batch(o, d, v0, v1, v2)
+            better = (t < t_b) | ((t == t_b) & (tid < id_b) & (id_b >= 0))
+            ok = (
+                process
+                & (j < cnt)
+                & (jnp.abs(det) > DET_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & better
+            )
+            t_b = jnp.where(ok, t, t_b)
+            u_b = jnp.where(ok, u, u_b)
+            v_b = jnp.where(ok, v, v_b)
+            id_b = jnp.where(ok, tid, id_b)
 
-        leaf_done = ~interior & (slot + 1 >= cnt)
-        node, slot = _step_transitions(node, slot, want, is_leaf, esc, cnt, leaf_done)
-        node = jnp.where(active, node, -1)
-        return node, slot, t_b, u_b, v_b, id_b
+        return _advance(node, want, is_leaf, esc, active), t_b, u_b, v_b, id_b
 
     init = (
         jnp.zeros((r,), jnp.int32),
-        jnp.full((r,), INTERIOR, jnp.int32),
         jnp.full((r,), T_MAX, jnp.float32),
         jnp.zeros((r,), jnp.float32),
         jnp.zeros((r,), jnp.float32),
         jnp.full((r,), -1, jnp.int32),
     )
-    _, _, t, u, v, tid = jax.lax.while_loop(cond, body, init)
+    _, t, u, v, tid = jax.lax.while_loop(cond, body, init)
     return Hit(
         t=t.reshape(shape),
         u=u.reshape(shape),
@@ -192,39 +173,32 @@ def wave_occluded(
         return jnp.any(s[0] >= 0)
 
     def body(s):
-        node, slot, blocked = s
+        node, blocked = s
         lo, hi, esc, is_leaf, first, cnt = _gather_node(bvh, node)
         active = node >= 0
-        interior = slot == INTERIOR
-
         want = _slab_batch(o, inv_d, lo, hi, t_min, tmax) & active
+        process = want & is_leaf
 
-        si = first + slot
-        v0, v1, v2, tid = _gather_tri(tris, bvh, si)
-        t, u, v, det = _mt_batch(o, d, v0, v1, v2)
-        hit = (
-            active
-            & ~interior
-            & (jnp.abs(det) > DET_EPS)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > t_min)
-            & (t < tmax)
-        )
-        blocked = blocked | hit
+        for j in range(bvh.leaf_size):
+            v0, v1, v2, tid = _gather_tri(tris, bvh, first + j)
+            t, u, v, det = _mt_batch(o, d, v0, v1, v2)
+            hit = (
+                process
+                & (j < cnt)
+                & (jnp.abs(det) > DET_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < tmax)
+            )
+            blocked = blocked | hit
 
-        leaf_done = ~interior & (slot + 1 >= cnt)
-        node, slot = _step_transitions(node, slot, want, is_leaf, esc, cnt, leaf_done)
-        node = jnp.where(active & ~blocked, node, -1)  # early out when blocked
-        return node, slot, blocked
+        node = _advance(node, want, is_leaf, esc, active & ~blocked)
+        return node, blocked
 
-    init = (
-        jnp.zeros((r,), jnp.int32),
-        jnp.full((r,), INTERIOR, jnp.int32),
-        jnp.zeros((r,), bool),
-    )
-    _, _, blocked = jax.lax.while_loop(cond, body, init)
+    init = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool))
+    _, blocked = jax.lax.while_loop(cond, body, init)
     return blocked.reshape(shape)
 
 
@@ -251,56 +225,51 @@ def wave_k_ids(
         return jnp.any(s[0] >= 0)
 
     def body(s):
-        node, slot, ts, ids = s
+        node, ts, ids = s
         lo, hi, esc, is_leaf, first, cnt = _gather_node(bvh, node)
         active = node >= 0
-        interior = slot == INTERIOR
-
         t_upper = jnp.minimum(ts[:, k - 1], tmax)
         want = _slab_batch(o, inv_d, lo, hi, t_min, t_upper) & active
+        process = want & is_leaf
 
-        si = first + slot
-        v0, v1, v2, tid = _gather_tri(tris, bvh, si)
-        t, u, v, det = _mt_batch(o, d, v0, v1, v2)
-        ok = (
-            active
-            & ~interior
-            & (jnp.abs(det) > DET_EPS)
-            & (u >= -band)
-            & (v >= -band)
-            & (u + v <= 1.0 + band)
-            & (t > t_min)
-            & (t < tmax)
-        )
-        # lexicographic (t, id) insertion, same as packet/ref engines
-        ok = ok & (
-            (t < ts[:, k - 1]) | ((t == ts[:, k - 1]) & (tid < ids[:, k - 1]))
-        )
-        pos = jnp.sum(
-            (ts < t[:, None]) | ((ts == t[:, None]) & (ids < tid[:, None])),
-            axis=-1,
-        )
-        at = ks[None, :] == pos[:, None]
-        shift = (ks[None, :] > pos[:, None]) & ok[:, None]
-        prev_ts = ts[:, jnp.maximum(ks - 1, 0)]
-        prev_ids = ids[:, jnp.maximum(ks - 1, 0)]
-        ts = jnp.where(
-            ok[:, None] & at, t[:, None], jnp.where(shift, prev_ts, ts)
-        )
-        ids = jnp.where(
-            ok[:, None] & at, tid[:, None], jnp.where(shift, prev_ids, ids)
-        )
+        for j in range(bvh.leaf_size):
+            v0, v1, v2, tid = _gather_tri(tris, bvh, first + j)
+            t, u, v, det = _mt_batch(o, d, v0, v1, v2)
+            ok = (
+                process
+                & (j < cnt)
+                & (jnp.abs(det) > DET_EPS)
+                & (u >= -band)
+                & (v >= -band)
+                & (u + v <= 1.0 + band)
+                & (t > t_min)
+                & (t < tmax)
+            )
+            # lexicographic (t, id) insertion, same as packet/ref engines
+            ok = ok & (
+                (t < ts[:, k - 1]) | ((t == ts[:, k - 1]) & (tid < ids[:, k - 1]))
+            )
+            pos = jnp.sum(
+                (ts < t[:, None]) | ((ts == t[:, None]) & (ids < tid[:, None])),
+                axis=-1,
+            )
+            at = ks[None, :] == pos[:, None]
+            shift = (ks[None, :] > pos[:, None]) & ok[:, None]
+            prev_ts = ts[:, jnp.maximum(ks - 1, 0)]
+            prev_ids = ids[:, jnp.maximum(ks - 1, 0)]
+            ts = jnp.where(
+                ok[:, None] & at, t[:, None], jnp.where(shift, prev_ts, ts)
+            )
+            ids = jnp.where(
+                ok[:, None] & at, tid[:, None], jnp.where(shift, prev_ids, ids)
+            )
 
-        leaf_done = ~interior & (slot + 1 >= cnt)
-        node, slot = _step_transitions(node, slot, want, is_leaf, esc, cnt, leaf_done)
-        node = jnp.where(active, node, -1)
-        return node, slot, ts, ids
+        return _advance(node, want, is_leaf, esc, active), ts, ids
 
     init = (
         jnp.zeros((r,), jnp.int32),
-        jnp.full((r,), INTERIOR, jnp.int32),
         jnp.full((r, k), T_MAX, jnp.float32),
         jnp.full((r, k), -1, jnp.int32),
     )
-    _, _, _, ids = jax.lax.while_loop(cond, body, init)
+    _, _, ids = jax.lax.while_loop(cond, body, init)
     return ids
