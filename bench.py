@@ -183,6 +183,12 @@ def main() -> None:
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
                     help="cpu forces the CPU backend in-process (the "
                          "JAX_PLATFORMS env var is pre-empted by sitecustomize)")
+    ap.add_argument("--pallas-parity", action="store_true",
+                    help="run the Pallas kernels AND the packet oracle on "
+                         "this backend and report the mismatch fraction "
+                         "(on-hardware parity smoke, VERDICT #9 — interpret-"
+                         "mode-only testing let a Mosaic compile failure "
+                         "ship in round 1)")
     ap.add_argument("--sort-bench", action="store_true",
                     help="benchmark Pallas radix sort vs lax.sort at 1M/5M "
                          "keys (rows on stderr; SURVEY §7 '#6 decide by "
@@ -251,11 +257,56 @@ def main() -> None:
             _run_staged(args)
         if args.sort_bench:
             _run_sort_bench()
+        if args.pallas_parity:
+            _run_pallas_parity()
     except Exception as e:
         log(f"FATAL: {type(e).__name__}: {e}")
         row["error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(row), flush=True)
+
+
+def _run_pallas_parity() -> None:
+    """Pallas kernels vs the packet oracle ON THIS BACKEND (the real chip
+    when run there): closest/occlusion/k-nearest mismatch fractions.  On TPU
+    a small nonzero fraction is expected (Mosaic FMA contraction flips exact
+    boundary rays); anything beyond ~1e-3 or a compile error is a regression."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.core.geometry import Rays
+    from tpurt.core.scene import get_scene
+    from tpurt.render.camera import gen_primary_rays
+    from tpurt.render.pipeline import make_tracer
+
+    scene, cam = get_scene("cornell")
+    rays = gen_primary_rays(cam.replace(width=128, height=128))
+    rays = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
+    n = rays.o.shape[0]
+    tr = make_tracer(scene, method="pallas")
+    trp = tr.replace(method="packet")
+    h = jax.block_until_ready(jax.jit(lambda o, d: tr.closest(Rays(o=o, d=d)))(rays.o, rays.d))
+    hp = jax.block_until_ready(jax.jit(lambda o, d: trp.closest(Rays(o=o, d=d)))(rays.o, rays.d))
+    tri_mm = int((np.asarray(h.tri) != np.asarray(hp.tri)).sum())
+    tmax = jnp.full((n,), 5.0, jnp.float32)
+    o1 = jax.jit(lambda o, d: tr.visibility(Rays(o=o, d=d), tmax, False, 0.0, 0.0))(rays.o, rays.d)
+    o2 = jax.jit(lambda o, d: trp.visibility(Rays(o=o, d=d), tmax, False, 0.0, 0.0))(rays.o, rays.d)
+    occ_mm = int((np.asarray(o1) != np.asarray(o2)).sum())
+    k1 = jax.jit(lambda o, d: tr.k_nearest(Rays(o=o, d=d), 4, 0.08))(rays.o, rays.d)
+    k2 = jax.jit(lambda o, d: trp.k_nearest(Rays(o=o, d=d), 4, 0.08))(rays.o, rays.d)
+    kn_mm = int((np.asarray(k1.tri) != np.asarray(k2.tri)).any(-1).sum())
+    row = {
+        "pallas_parity": jax.default_backend(),
+        "rays": n,
+        "closest_mismatch": tri_mm,
+        "occlusion_mismatch": occ_mm,
+        "knearest_mismatch": kn_mm,
+        "ok": bool(max(tri_mm, occ_mm, kn_mm) <= max(4, n // 1000)),
+    }
+    print(json.dumps(row), file=sys.stderr, flush=True)
+    if not row["ok"]:
+        raise RuntimeError(f"pallas parity failure: {row}")
 
 
 def _run_sort_bench() -> None:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from tpurt.accel.morton import triangle_morton_codes
@@ -33,7 +34,7 @@ from tpurt.core.geometry import AABB, Triangles
 Array = jax.Array
 
 # Sentinel: "no node" / end of traversal.
-INVALID = jnp.int32(-1)
+INVALID = np.int32(-1)  # numpy, not jnp: no backend init at import time
 
 
 class BVH(struct.PyTreeNode):

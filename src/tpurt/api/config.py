@@ -25,6 +25,10 @@ class RenderConfig:
     k_layers: int = 4
     sharpness: float = 100.0
     band: float = 0.08
+    # area lights: Monte-Carlo samples per shading point on the scene's
+    # emissive triangles (0 = point lights only); seed feeds the sampler key
+    light_samples: int = 0
+    light_seed: int = 0
 
     def tracer_kwargs(self) -> dict[str, Any]:
         return dict(method=self.method, leaf_size=self.leaf_size,
@@ -32,7 +36,8 @@ class RenderConfig:
 
     def render_kwargs(self) -> dict[str, Any]:
         return dict(soft=self.soft, k_layers=self.k_layers,
-                    sharpness=self.sharpness, band=self.band)
+                    sharpness=self.sharpness, band=self.band,
+                    light_samples=self.light_samples)
 
 
 @dataclass(frozen=True)

@@ -57,11 +57,20 @@ class Renderer:
     # -- rendering --------------------------------------------------------
     def render_rays(self, rays: Rays, **overrides: Any) -> jax.Array:
         kw = {**self.config.render_kwargs(), **overrides}
+        # the sampler key is an array (unhashable): keep it out of the jit
+        # cache key and pass it as a traced call argument instead
+        key = kw.pop("key", None)
+        if kw.get("light_samples", 0) > 0 and key is None:
+            key = jax.random.key(self.config.light_seed)
         if self.mesh is not None:
             from tpurt.dist.shard import shard_render_rays
 
-            return shard_render_rays(self._tracer, rays, self.mesh, **kw)
-        return self._render_jit(tuple(sorted(kw.items())))(self._tracer, rays)
+            return shard_render_rays(self._tracer, rays, self.mesh, key=key,
+                                     **kw)
+        fn = self._render_jit(tuple(sorted(kw.items())))
+        if key is None:
+            key = jax.random.key(0)  # unused when light_samples == 0
+        return fn(self._tracer, rays, key)
 
     def render(
         self,
@@ -91,7 +100,8 @@ class Renderer:
         if fn is None:
             kw = dict(kw_key)
             fn = jax.jit(
-                functools.partial(render_rays, **kw),
+                lambda tracer, rays, key: render_rays(tracer, rays, key=key,
+                                                      **kw),
             )
             self._compiled[kw_key] = fn
         return fn

@@ -61,7 +61,8 @@ def cmd_render(args) -> int:
 
     log = get_logger()
     scene, cam = _scene(args)
-    cfg = RenderConfig(method=args.method, spp=args.spp)
+    cfg = RenderConfig(method=args.method, spp=args.spp,
+                       light_samples=args.light_samples, light_seed=args.seed)
     mesh = None
     if args.shard:
         from tpurt.dist.shard import make_mesh
@@ -183,6 +184,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("-o", "--out", default="out.png")
     sp.add_argument("--spp", type=int, default=1)
+    sp.add_argument("--light-samples", type=int, default=0,
+                    help="area-light samples per shading point (emissive tris)")
+    sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--shard", action="store_true", help="shard rays over all devices")
     sp.set_defaults(fn=cmd_render)
 

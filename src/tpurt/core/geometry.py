@@ -13,12 +13,14 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 Array = jax.Array
 
 # Sentinel triangle id for "no hit".
-MISS = jnp.int32(-1)
+MISS = np.int32(-1)  # plain numpy: importing tpurt must NOT init the backend
+# (jax.distributed.initialize must run before first device use, dist/runtime.py)
 # Large-but-finite ray parameter used as "infinity" (finite keeps grads clean).
 T_MAX = 1e30
 

@@ -278,19 +278,23 @@ def _shade_layer(
     scene = tracer.scene
     _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rays, scene, tri_id)
     wi, dist, _ = light_dirs(p, scene.lights)
-    # Shadow rays: one per (ray, light); flatten lights into the ray batch.
+    # Shadow rays: one per (ray, light), flattened LIGHT-major — adjacent
+    # rays in a packet then share one light (coherent subtrees); ray-major
+    # interleaving (r0l0, r0l1, r1l0, ...) makes every packet a mix of all
+    # lights and defeats the packet/Pallas engines' shared-cursor walk.
     L = scene.lights.pos.shape[0]
+    R = p.shape[0]
     o_surf = p + SHADOW_EPS * n
     if L > 0:
-        o_sh = o_surf[:, None, :].repeat(L, axis=1).reshape(-1, 3)
-        d_sh = wi.reshape(-1, 3)
-        t_sh = (dist * SHADOW_T_FRAC).reshape(-1)
+        o_sh = jnp.broadcast_to(o_surf[None], (L, R, 3)).reshape(-1, 3)
+        d_sh = wi.transpose(1, 0, 2).reshape(-1, 3)
+        t_sh = (dist.T * SHADOW_T_FRAC).reshape(-1)
         vis = tracer.visibility(
             Rays(o=o_sh, d=d_sh), t_max=t_sh, soft=soft, sharpness=sharpness,
             band=band,
-        ).reshape(-1, L)
+        ).reshape(L, R).T
     else:  # area-light-only scenes: no point-light shadow rays to trace
-        vis = jnp.zeros((p.shape[0], 0), jnp.float32)
+        vis = jnp.zeros((R, 0), jnp.float32)
     color = shade_lambert(p, n, albedo, emission, scene.lights, vis, scene.ambient)
 
     if light_samples > 0 and key is not None:
@@ -298,12 +302,14 @@ def _shade_layer(
         delta = lp[None, :, :] - o_surf[:, None, :]  # (R, S, 3)
         ldist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12))
         lwi = delta / ldist[..., None]
-        o_al = o_surf[:, None, :].repeat(light_samples, axis=1).reshape(-1, 3)
+        # sample-major flattening: same coherence argument as point lights
+        S = light_samples
+        o_al = jnp.broadcast_to(o_surf[None], (S, R, 3)).reshape(-1, 3)
         vis_al = tracer.visibility(
-            Rays(o=o_al, d=lwi.reshape(-1, 3)),
-            t_max=(ldist * SHADOW_T_FRAC).reshape(-1),
+            Rays(o=o_al, d=lwi.transpose(1, 0, 2).reshape(-1, 3)),
+            t_max=(ldist.T * SHADOW_T_FRAC).reshape(-1),
             soft=soft, sharpness=sharpness, band=band,
-        ).reshape(-1, light_samples)
+        ).reshape(S, R).T
         color = color + area_light_contrib(p, n, albedo, lp, ln_, le, pdf, vis_al)
 
     color = jnp.where(valid[..., None], color, 0.0)

@@ -18,9 +18,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 WORKER = r"""
 import os, sys
 sys.path.insert(0, os.path.join(r"%(repo)s", "src"))
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
-)
 import jax
 jax.config.update("jax_platforms", "cpu")
 
@@ -50,7 +47,7 @@ xs = jax.make_array_from_process_local_data(
     np.full((2,), 1.0 + pid, np.float32), (4,),
 )
 t = float(jax.device_get(total(xs))[()])
-assert t == 5.0, t  # (1+1) + (2+2)
+assert t == 6.0, t  # (1+1) + (2+2)
 
 # film gather: global (4, 3) array sharded over processes
 film = jax.make_array_from_process_local_data(
@@ -86,6 +83,12 @@ def test_two_process_init_psum_gather(tmp_path):
         env = dict(os.environ)
         env["PROC_ID"] = str(pid)
         env["COORD"] = f"127.0.0.1:{port}"
+        # keep the axon TPU plugin (PYTHONPATH sitecustomize) out of the
+        # workers: its registration can poke the XLA backend before
+        # jax.distributed.initialize runs, which initialize() rejects
+        env["PYTHONPATH"] = ""
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
         procs.append(subprocess.Popen(
             [sys.executable, str(script)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
