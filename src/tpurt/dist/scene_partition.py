@@ -117,13 +117,15 @@ def build_partition_bvhs(part: ScenePartition, leaf_size: int = 8):
     sh = lambda a: a.reshape(p, chunk, 3)
     tris_p = jax.vmap(chunk_tris)(sh(part.v0), sh(part.v1), sh(part.v2))
 
+    from tpurt.accel.packet import max_cut_leaves
+
     build = jax.vmap(
         lambda t: build_lbvh(t, leaf_size=leaf_size), in_axes=0, out_axes=0
     )
     bvhs = jax.jit(build)(tris_p)
-    # n_leaves is shape-determining for pack: use the max over partitions so
-    # every partition packs to one common static shape (extra rows are pads).
-    n_leaves = int(jnp.max(jnp.sum(bvhs.flat_is_leaf, axis=1)))
+    # n_leaves is shape-determining for pack: the static per-chunk bound
+    # gives every partition one common shape with no device->host sync.
+    n_leaves = max_cut_leaves(chunk, leaf_size)
     pack = jax.vmap(lambda t, b: pack_bvh(t, b, n_leaves=n_leaves))
     packed = jax.jit(pack)(tris_p, bvhs)
     # local chunk index -> global triangle id (gid keeps -1 for padding)

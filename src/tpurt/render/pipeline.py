@@ -213,9 +213,10 @@ def make_tracer(
     bvh = build(scene.tris, leaf_size=leaf_size, band=band)
     packed = None
     if method in ("packet", "pallas"):
-        from tpurt.accel.packet import pack_bvh
+        from tpurt.accel.packet import max_cut_leaves, pack_bvh
 
-        n_leaves = int(bvh.flat_is_leaf.sum())
+        # static bound, not int(flat_is_leaf.sum()): no device->host sync
+        n_leaves = max_cut_leaves(scene.tris.num_tris, leaf_size)
         packed = jax.jit(pack_bvh, static_argnames=("n_leaves",))(
             scene.tris, bvh, n_leaves=n_leaves
         )
