@@ -54,6 +54,35 @@ def _enable_compile_cache() -> None:
         log(f"compile cache unavailable: {e}")
 
 
+def timing_sane() -> bool:
+    """Calibrate block_until_ready against a known-cost matmul.
+
+    A broken completion-event path (observed: device executes but ready
+    events fire immediately) makes every wall-clock number meaningless;
+    returns False when the implied FLOP rate exceeds any real chip (2x a
+    v5e's 197 bf16 TFLOP/s peak, generous for CPU too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        n = 4096
+        x = jnp.ones((n, n), jnp.bfloat16)
+        f = jax.jit(lambda x: x @ x)
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            y = f(x)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / 4
+        tflops = 2 * n**3 / dt / 1e12
+        log(f"timing calibration: {tflops:.1f} TFLOP/s implied")
+        return tflops < 400.0
+    except Exception as e:
+        log(f"timing calibration failed: {e}")
+        return True
+
+
 def resolve_engine(method: str, tracer) -> str:
     """The engine that will ACTUALLY run for this tracer (surfaces the
     pallas->packet VMEM fallback instead of lying about it)."""
@@ -214,6 +243,10 @@ def main() -> None:
 
         dev = jax.devices()[0]
         log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+        if not timing_sane():
+            row["timing_suspect"] = True
+            log("WARNING: completion events look broken; wall-clock numbers "
+                "below are NOT trustworthy (timing_suspect=true)")
 
         kw = {}
         if args.scene in ("sponza", "sponza5m"):

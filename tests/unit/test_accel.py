@@ -217,3 +217,26 @@ def test_escape_links_form_valid_dfs():
     # or terminates.
     for i in seen:
         assert esc[i] == -1 or esc[i] > i
+
+
+def test_max_cut_leaves_bounds_actual():
+    """The static treelet-leaf bound (used for pack shapes so the build path
+    has no device->host sync) must dominate the actual cut-leaf count."""
+    import numpy as np
+
+    from tpurt.accel.lbvh import build_lbvh
+    from tpurt.accel.packet import max_cut_leaves
+    from tpurt.core.geometry import Triangles
+
+    rng = np.random.default_rng(0)
+    for f in (2, 9, 37, 300, 2048):
+        centers = rng.uniform(-2, 2, (f, 3)).astype(np.float32)
+        offs = rng.normal(0, 0.3, (f, 3, 3)).astype(np.float32)
+        verts = (centers[:, None, :] + offs).reshape(-1, 3)
+        faces = np.arange(3 * f).reshape(f, 3)
+        tris = Triangles.create(verts, faces)
+        for leaf_size in (4, 8):
+            bvh = build_lbvh(tris, leaf_size=leaf_size)
+            actual = int(bvh.flat_is_leaf.sum())
+            bound = max_cut_leaves(f, leaf_size)
+            assert actual <= bound, (f, leaf_size, actual, bound)
