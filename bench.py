@@ -385,8 +385,8 @@ def _run_staged(args) -> None:
     from tpurt.core.scene import get_scene
 
     configs = [
-        ("1-cornell", "cornell", {}, 256 * 256),
-        ("2-bunny", "bunny", {}, 512 * 512),
+        ("1-cornell", "cornell", {}, min(256 * 256, args.bench_rays)),
+        ("2-bunny", "bunny", {}, min(512 * 512, args.bench_rays)),
         ("3-sponza1m", "sponza", dict(num_tris=1_000_000, width=1920, height=1088),
          args.bench_rays),
     ]
@@ -408,6 +408,46 @@ def _run_staged(args) -> None:
                         log(f"staged {name}/{mode}/{m} failed: {e}")
             except Exception as e:
                 log(f"staged {name}/{mode} failed entirely: {e}")
+    _run_fit_staged()
+
+
+def _run_fit_staged() -> None:
+    """BASELINE config 4: inverse-rendering fit throughput (steps/s and
+    effective fwd+bwd rays/s) on a small frame."""
+    try:
+        import jax
+
+        from tpurt.api.config import FitConfig, RenderConfig
+        from tpurt.api.inverse import InverseRenderer
+        from tpurt.core.scene import get_scene
+        from tpurt.render.pipeline import render
+
+        scene, cam = get_scene("cornell")
+        cam = cam.replace(width=64, height=64)
+        rkw = dict(method="bvh", soft=True, k_layers=4, sharpness=40.0,
+                   band=0.08)
+        target = render(scene, cam, **rkw)
+        perturbed = scene.replace(
+            tris=scene.tris.replace(verts=scene.tris.verts * 1.02))
+        inv = InverseRenderer(
+            perturbed, cam,
+            fit=FitConfig(steps=6, lr=1e-3, grad_chunks=2),
+            render=RenderConfig(**rkw),
+        )
+        t0 = time.perf_counter()
+        res = inv.fit(target, steps=1)  # compile + first step
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = inv.fit(target, steps=5)
+        dt = (time.perf_counter() - t0) / 5
+        print(json.dumps({
+            "staged_config": "4-fit", "steps_per_s": round(1.0 / dt, 3),
+            "rays_per_s_fwd_bwd_equiv": round(cam.num_pixels / dt, 1),
+            "compile_s": round(compile_s, 1),
+            "final_loss": res.losses[-1],
+        }), file=sys.stderr, flush=True)
+    except Exception as e:
+        log(f"staged 4-fit failed: {e}")
 
 
 if __name__ == "__main__":
