@@ -54,30 +54,74 @@ def _enable_compile_cache() -> None:
         log(f"compile cache unavailable: {e}")
 
 
-def timing_sane() -> bool:
-    """Calibrate block_until_ready against a known-cost matmul.
+_READBACK_LAT_S = 0.0
 
-    A broken completion-event path (observed: device executes but ready
-    events fire immediately) makes every wall-clock number meaningless;
-    returns False when the implied FLOP rate exceeds any real chip (2x a
-    v5e's 197 bf16 TFLOP/s peak, generous for CPU too).
-    """
+
+def _sync(out) -> None:
+    """Force completion of all enqueued work via a REAL device->host read.
+
+    `block_until_ready` relies on completion events, which the axon tunnel
+    has been observed to fire immediately (docs/PERF.md "tunnel incident") —
+    timing through it reports absurd rates.  A device_get of one element of
+    the output cannot lie: execution is in-order per device, so reading any
+    element of the last result back to the host proves every prior enqueued
+    call finished.  Costs one small D2H (~_READBACK_LAT_S, measured and
+    subtracted by callers)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:
+        return
+    jax.device_get(leaves[0].ravel()[:1])
+
+
+def _measure_readback_latency() -> float:
+    """Round-trip latency of the tiny `_sync` readback, for subtraction."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.float32(1.0)
+    _sync(f(x))  # warm compile + transfer path (first readback can be slow)
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(f(x))
+        lats.append(time.perf_counter() - t0)
+    return min(lats)
+
+
+def timing_sane() -> bool:
+    """Calibrate readback-based timing against a known-cost matmul.
+
+    Also measures the readback round-trip latency into _READBACK_LAT_S so
+    _bench_chunk can subtract it.  Returns False when the implied FLOP rate
+    exceeds any real chip (2x a v5e's 197 bf16 TFLOP/s peak)."""
+    global _READBACK_LAT_S
     import jax
     import jax.numpy as jnp
 
     try:
-        n = 4096
+        _READBACK_LAT_S = _measure_readback_latency()
+        log(f"readback latency: {_READBACK_LAT_S*1e3:.1f} ms")
+        n = 8192
+        reps = 10
         x = jnp.ones((n, n), jnp.bfloat16)
-        f = jax.jit(lambda x: x @ x)
-        jax.block_until_ready(f(x))
+
+        def chain(a):
+            for _ in range(reps):
+                a = (a @ a) * jnp.bfloat16(1.0 / n)
+            return a
+
+        f = jax.jit(chain)
+        _sync(f(x))
         t0 = time.perf_counter()
-        for _ in range(4):
-            y = f(x)
-        jax.block_until_ready(y)
-        dt = (time.perf_counter() - t0) / 4
-        tflops = 2 * n**3 / dt / 1e12
-        log(f"timing calibration: {tflops:.1f} TFLOP/s implied")
-        return tflops < 400.0
+        _sync(f(x))
+        dt = (time.perf_counter() - t0 - _READBACK_LAT_S) / reps
+        tflops = 2 * n**3 / max(dt, 1e-9) / 1e12
+        log(f"timing calibration: {tflops:.1f} TFLOP/s implied "
+            f"({dt*1e3:.2f} ms per {n}^3 bf16 matmul)")
+        return 0.0 < tflops < 400.0
     except Exception as e:
         log(f"timing calibration failed: {e}")
         return True
@@ -106,31 +150,36 @@ def _bench_chunk(fn, args, n_rays: int, iters: int, warmup: int,
     import jax
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _sync(out)
     compile_s = time.perf_counter() - t0
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     if profile_dir:
         os.makedirs(profile_dir, exist_ok=True)
         ctx = jax.profiler.trace(profile_dir)
     else:
         ctx = contextlib.nullcontext()
     # Run at least `iters` calls and at least `min_seconds` of wall time.
-    done = 0
+    # Sync is one tiny readback per batch of `iters` calls; its measured
+    # round-trip latency is subtracted so high-latency tunnels don't skew
+    # short runs.
+    done, lat_paid = 0, 0.0
     t0 = time.perf_counter()
     with ctx:
         while True:
             for _ in range(iters):
                 out = fn(*args)
-            jax.block_until_ready(out)
+            _sync(out)
             done += iters
+            lat_paid += _READBACK_LAT_S
             dt = time.perf_counter() - t0
-            if dt >= min_seconds or done >= 100 * iters:
+            if dt >= min_seconds + lat_paid or done >= 100 * iters:
                 break
     if profile_dir:
         log(f"profiler trace written to {profile_dir}")
-    per_call = dt / done
+    per_call = max(dt - lat_paid, 1e-9) / done
     return n_rays / per_call, per_call * 1e3, compile_s
 
 
@@ -149,9 +198,7 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
 
     t0 = time.perf_counter()
     tracer = make_tracer(scene, method=method, band=rkw["band"] if soft else 0.0)
-    jax.block_until_ready(
-        tracer.bvh.flat_lo if tracer.bvh is not None else scene.tris.verts
-    )
+    _sync(tracer.bvh.flat_lo if tracer.bvh is not None else scene.tris.verts)
     build_s = time.perf_counter() - t0
     engine = resolve_engine(method, tracer)
     log(f"bvh build+pack: {build_s:.2f}s  engine_ran={engine}")
@@ -362,14 +409,15 @@ def _run_sort_bench() -> None:
             try:
                 f = jax.jit(lambda k, v, b=backend: sort_pairs(k, v, backend=b))
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(f(keys, vals))
+                out = f(keys, vals)
+                _sync(out)
                 comp = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 iters = 5
                 for _ in range(iters):
                     out = f(keys, vals)
-                jax.block_until_ready(out)
-                dt = (time.perf_counter() - t0) / iters
+                _sync(out)
+                dt = (time.perf_counter() - t0 - _READBACK_LAT_S) / iters
                 print(json.dumps({
                     "sort_bench": backend, "keys": n,
                     "ms": round(dt * 1e3, 3),
