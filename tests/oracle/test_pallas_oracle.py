@@ -134,7 +134,7 @@ def test_bf16_node_tier_matches_packet(case, monkeypatch):
     budget = kt.node_bytes(packed) - 64
     monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", budget)
     plan = kt._plan(packed)
-    assert plan is not None and plan[1] and plan[0].node_f32.dtype == jnp.bfloat16
+    assert plan is not None and plan[3] and plan[0].dtype == jnp.bfloat16
     got = kt.traverse_pallas(rays, tris, packed)
     ref = traverse_packet(rays, tris, packed)
     assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))
