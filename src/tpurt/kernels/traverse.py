@@ -160,7 +160,12 @@ def _pad_tiles(rays: Rays, sub: int, *extra_flat: Array, walks: int = 1):
     per = walks * sub * LANE
     pad = (-n) % per
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        # Pad rays must be DEAD in the kernels: origin far outside any scene
+        # box makes every slab test fail ((lo - 1e30) * _safe_inv(0) = -inf
+        # on both slabs -> t_far = -inf < t_min), so padding packets
+        # terminate immediately instead of walking the whole tree
+        # (VERDICT r2 weak #9).
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e30, o.dtype)])
         d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)])
         extra_flat = tuple(
             jnp.concatenate([e, jnp.zeros((pad,), e.dtype)]) for e in extra_flat
@@ -282,7 +287,7 @@ def _make_leaf_reader(rows, tids, row_s, ids_s, sem, tri_in_hbm: bool,
 
 
 def _tri_specs(tri_in_hbm: bool):
-    space = pltpu.ANY if tri_in_hbm else pltpu.VMEM
+    space = pl.ANY if tri_in_hbm else pltpu.VMEM
     return [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # nf2 lane-packed f32|bf16
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ni2 lane-packed i32
@@ -322,7 +327,7 @@ def _plan(packed: PackedBVH):
     return None
 
 
-def _interleaved_walk(nf, ni, walks, body_for_walk):
+def _interleaved_walk(ni, walks, body_for_walk):
     """Drive `walks` independent node cursors to termination; body_for_walk
     (g, node_idx, esc, leaf_row, is_leaf, live) -> next cursor value."""
 
@@ -401,7 +406,7 @@ def _closest_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz,
 
         return jnp.where(want & jnp.logical_not(is_leaf), nidx + 1, esc)
 
-    _interleaved_walk(nf, ni, walks, walk)
+    _interleaved_walk(ni, walks, walk)
 
 
 def traverse_pallas(
@@ -499,7 +504,7 @@ def _occluded_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz, tm, blk_o,
         nxt = jnp.where(want & jnp.logical_not(is_leaf), nidx + 1, esc)
         return jnp.where(done, jnp.int32(-1), nxt)
 
-    _interleaved_walk(nf, ni, walks, walk)
+    _interleaved_walk(ni, walks, walk)
 
 
 def occluded_pallas(
@@ -609,7 +614,7 @@ def _knear_kernel(nf, ni, rows, tids, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
 
         return jnp.where(want & jnp.logical_not(is_leaf), nidx + 1, esc)
 
-    _interleaved_walk(nf, ni, walks, walk)
+    _interleaved_walk(ni, walks, walk)
     for g in range(walks):
         for i in range(k):
             # unfilled slots carry the big-id sentinel -> emit -1 like the oracle
