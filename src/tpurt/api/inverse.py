@@ -113,13 +113,20 @@ class InverseRenderer:
             scene = jax.lax.stop_gradient(self.apply_params(params))
             bvh = self.tracer0.bvh
             packed = self.tracer0.packed
+            wide = self.tracer0.wide
             if bvh is not None and "verts" in params:
                 bvh = refit_aabbs(bvh, scene.tris)
                 if packed is not None:
                     from tpurt.accel.packet import refit_packed
 
                     packed = refit_packed(packed, bvh, scene.tris)
-            tracer = self.tracer0.replace(scene=scene, bvh=bvh, packed=packed)
+                if wide is not None:
+                    from tpurt.accel.bvh8 import refit_wide
+
+                    wide = refit_wide(wide, bvh, scene.tris)
+            tracer = self.tracer0.replace(
+                scene=scene, bvh=bvh, packed=packed, wide=wide
+            )
             return chunked_grad(
                 functools.partial(loss_fn, tracer=tracer),
                 params,

@@ -20,7 +20,7 @@ overlap them instead of paying the full chain per node visit.
 
 Node layout (measured on v5e: VMEM holds ~15 MB of LANE-perfect (R, 128)
 arrays, but an (M, 8) array occupies ~2x its logical bytes): nodes are
-repacked lane-perfect at trace time — 16 nodes x 8 f32 (or bf16) AABB+pad
+repacked lane-perfect at trace time — 16 nodes x 8 f32 AABB+pad
 scalars per 128-lane row, and 64 nodes x 2 i32 records (escape link,
 leaf_row with -1 = internal) per row.  A 1M-tri BVH (~444K nodes) is
 10.7 MB in bf16 — inside the budget, where the round-2 (M, 8) layout
@@ -28,11 +28,12 @@ overflowed even quantized and silently fell back to the XLA packet engine.
 
 Scale tiers (VERDICT r1 missing #3 — the VMEM ceiling):
 - small scenes: nodes AND triangle rows VMEM-resident (fastest leaf fetch);
-- large scenes (1M-tri class, BASELINE.json:9): triangle rows stay in HBM
-  and each leaf visit DMAs its (1, 128) row + ids into VMEM scratch
-  (`pltpu.make_async_copy`), with nodes bf16-quantized when needed
-  (conservative directed rounding -> correctness-preserving);
+- mid-size scenes: triangle rows stay in HBM and each leaf visit DMAs its
+  (1, 128) row + ids into VMEM scratch (`pltpu.make_async_copy`);
 - beyond that the XLA packet engine takes over (logged, never silent).
+There is NO bf16 node tier: its dynamic row loads are Mosaic-illegal on
+hardware (BENCH_r02) and the 1M-tri flagship runs on the BVH8 engine
+(kernels/traverse8.py), which fits f32 in VMEM at that scale.
 
 Semantics: identical accept tests and (t, tri-id) tie-break as accel/packet
 (the oracle, bitwise in interpret mode; on real TPUs Mosaic's FMA contraction
@@ -77,12 +78,12 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def node_bytes(packed: PackedBVH, bf16: bool = False) -> int:
+def node_bytes(packed: PackedBVH) -> int:
     """Bytes of the LANE-perfect kernel node layout (actual ~= logical)."""
     m = packed.num_nodes
     rows_f = -(-m // NODES_PER_F32_ROW)
     rows_i = -(-m // NODES_PER_I32_ROW)
-    return rows_f * LANE * (2 if bf16 else 4) + rows_i * LANE * 4
+    return rows_f * LANE * 4 + rows_i * LANE * 4
 
 
 def tri_bytes(packed: PackedBVH) -> int:
@@ -99,22 +100,9 @@ def fits_vmem(packed: PackedBVH) -> bool:
     return packed_bytes(packed) <= VMEM_BUDGET_BYTES
 
 
-def nodes_fit_vmem(packed: PackedBVH, bf16: bool = False) -> bool:
+def nodes_fit_vmem(packed: PackedBVH) -> bool:
     """Nodes VMEM-resident with triangle rows streamed from HBM?"""
-    return node_bytes(packed, bf16) <= VMEM_BUDGET_BYTES
-
-
-def quantize_nodes_bf16(packed: PackedBVH) -> PackedBVH:
-    """Conservatively round node AABBs to bf16 (lo toward -inf, hi toward
-    +inf by pre-expansion of one bf16 ulp) — halves node VMEM, can only ADD
-    node visits, never lose hits."""
-    f = packed.node_f32
-    rel = jnp.float32(2.0 ** -7)  # one bf16 ulp, relative
-    tiny = jnp.float32(1e-30)
-    lo = f[:, 0:3] - jnp.abs(f[:, 0:3]) * rel - tiny
-    hi = f[:, 3:6] + jnp.abs(f[:, 3:6]) * rel + tiny
-    q = jnp.concatenate([lo, hi, f[:, 6:8]], axis=1).astype(jnp.bfloat16)
-    return packed.replace(node_f32=q)
+    return node_bytes(packed) <= VMEM_BUDGET_BYTES
 
 
 def _lane_pack_nodes(packed: PackedBVH):
@@ -145,9 +133,9 @@ def _log_fallback(fn_name: str, packed: PackedBVH) -> None:
     import logging
 
     logging.getLogger("tpurt").warning(
-        "%s: packed BVH nodes (%d bytes bf16) exceed the VMEM budget (%d) "
+        "%s: packed BVH nodes (%d bytes) exceed the VMEM budget (%d) "
         "even HBM-tiered; falling back to the XLA packet engine",
-        fn_name, node_bytes(packed, bf16=True), VMEM_BUDGET_BYTES,
+        fn_name, node_bytes(packed), VMEM_BUDGET_BYTES,
     )
 
 
@@ -207,10 +195,8 @@ def _node_rec(ni_ref, node):
 
 
 def _node_box(nf_ref, node):
-    """The six AABB scalars of one node as f32 (upcast when bf16)."""
+    """The six AABB scalars of one node."""
     row = nf_ref[node // NODES_PER_F32_ROW, :]
-    if row.dtype == jnp.bfloat16:
-        row = row.astype(jnp.float32)
     base = (node % NODES_PER_F32_ROW) * 8
     return _onehot_extract(row, base, 6, jnp.float32(0.0))
 
@@ -289,7 +275,7 @@ def _make_leaf_reader(rows, tids, row_s, ids_s, sem, tri_in_hbm: bool,
 def _tri_specs(tri_in_hbm: bool):
     space = pl.ANY if tri_in_hbm else pltpu.VMEM
     return [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # nf2 lane-packed f32|bf16
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nf2 lane-packed f32
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ni2 lane-packed i32
         pl.BlockSpec(memory_space=space),       # tri_rows (L, 128)
         pl.BlockSpec(memory_space=space),       # tri_ids  (L, LEAF_CAP)
@@ -312,17 +298,17 @@ def _ray_spec(sub: int, walks: int):
 
 
 def _plan(packed: PackedBVH):
-    """(nf2, ni2, packed, tri_in_hbm) or None when even the bf16 HBM tier
-    can't host the nodes."""
+    """(nf2, ni2, packed, tri_in_hbm) or None when the f32 nodes exceed
+    VMEM.  There is deliberately NO bf16 node tier: its 2D (M, 128) bf16
+    dynamic row loads are Mosaic-illegal on hardware (BENCH_r02: "cannot
+    statically prove that index in dimension 0 is a multiple of 8"), and
+    the BVH8 engine (kernels/traverse8.py) hosts 1M-tri scenes in f32
+    VMEM anyway — this engine stays as the mid-size/oracle path."""
     if fits_vmem(packed):
         nf2, ni2 = _lane_pack_nodes(packed)
         return nf2, ni2, packed, False
     if nodes_fit_vmem(packed):
         nf2, ni2 = _lane_pack_nodes(packed)
-        return nf2, ni2, packed, True
-    if nodes_fit_vmem(packed, bf16=True):
-        q = quantize_nodes_bf16(packed)
-        nf2, ni2 = _lane_pack_nodes(q)
         return nf2, ni2, packed, True
     return None
 

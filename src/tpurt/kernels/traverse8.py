@@ -1,0 +1,594 @@
+"""Pallas BVH8 traversal kernels — the production TPU engine (SURVEY §2b #10).
+
+Round-2's binary walk paid ~1.2 us of serial work per node visit, dominated
+by one-hot LANE extractions (~7-step cross-lane reductions each) of node
+scalars plus a full-tile `any()` per visit (docs/PERF.md).  This engine
+restructures traversal around what the hardware does cheaply:
+
+- ONE dynamic f32 row load per visit yields a whole wide node: 8 children's
+  AABBs + metas at STATIC lane offsets (accel/bvh8.py layout) — static lane
+  extracts compile to cheap scalar moves, no cross-lane reductions at all.
+- 8 slab tests per visit are pure VPU throughput over the (sub, 128) ray
+  tile; their masks accumulate into ONE i32 bit-mask tile.
+- The per-visit "which children passed" reduction is log2 static
+  `pltpu.roll`s (legal; dynamic shifts are not) + ORs — one reduction per
+  visit for all 8 children instead of one `any()` per node.
+- Traversal state is a scalar SMEM stack (pop one wide id per visit, push
+  passing internal children) — scalar SMEM loads/stores with dynamic index
+  are the cheap path on TPU, unlike dynamic lane access.
+- Fat-leaf fetches are ONE contiguous (<=3, 128) row read (VMEM tier) or one
+  async DMA per passing leaf child, started for ALL passing children before
+  any is consumed so up to 8 copies overlap (HBM tier, 1M-tri scenes).
+- The whole packed BVH8 is f32: ~36 B/node-equivalent fits 1M-tri scenes in
+  VMEM without the bf16 tier whose dynamic row loads Mosaic rejects
+  (VERDICT r2 missing #1).
+- grid packets are `dimension_semantics=("parallel",)` so megacore splits
+  them across both TensorCores.
+
+Semantics: identical accept tests and lexicographic (t, tri-id) selection as
+accel/packet (the oracle) — selection is visit-order- and
+superset-invariant, so universal 8-aligned tri rows (which may test a few
+out-of-leaf triangles) and stack order cannot change results; the k-nearest
+insert dedups by id since boundary rows can be shared by adjacent fat
+leaves.
+
+The reference repo has no kernels of any kind to mirror (SURVEY.md §0); the
+target is BASELINE.json:5 (>=100M primary rays/s/chip at 1M tris).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.accel.bvh8 import (
+    ENTRIES,
+    R_MAX_ROWS,
+    WideBVH,
+    tri_rows_bytes,
+    wide_bytes,
+)
+from tpurt.accel.intersect import DEFAULT_T_MIN, DET_EPS
+from tpurt.core.geometry import Hit, Rays, T_MAX, Triangles
+from tpurt.kernels.traverse import (
+    VMEM_BUDGET_BYTES,
+    _interpret,
+    _mt_scalar_tri,
+    _pad_tiles,
+    _ray_spec,
+    _safe_inv,
+)
+
+Array = jax.Array
+
+LANE = 128
+DEFAULT_SUB8 = 16  # (sub, 128) rays per packet walk
+STACK = 1024  # wide-tree depth (<=22 at 5M tris) x <=7 pushes, with margin
+# VMEM headroom reserved for ray tiles, leaf DMA scratch and double buffers.
+_SCRATCH_HEADROOM = 256 * 1024
+
+
+def plan8(wide: WideBVH):
+    """(tri_in_hbm,) or None when even the HBM-triangle tier can't host the
+    wide rows in VMEM."""
+    wb, tb = wide_bytes(wide), tri_rows_bytes(wide)
+    if wb + tb + _SCRATCH_HEADROOM <= VMEM_BUDGET_BYTES:
+        return (False,)
+    if wb + _SCRATCH_HEADROOM <= VMEM_BUDGET_BYTES:
+        return (True,)
+    return None
+
+
+def _or_reduce_bits(hitm: Array, interpret: bool) -> Array:
+    """(sub, LANE) i32 bit-mask tile -> scalar OR of every element.
+
+    Compiled path: fold sublanes with static row ORs, then lanes with log2
+    static circular `pltpu.roll`s — no cross-lane one-hot reductions, no
+    dynamic shifts (both measured-illegal/slow on Mosaic, see
+    kernels/traverse._onehot_extract)."""
+    if interpret:
+        return jax.lax.reduce(
+            hitm, jnp.int32(0), jax.lax.bitwise_or, tuple(range(hitm.ndim))
+        )
+    # Every roll stays on the full tile-legal (sub, 128) shape: rolls on
+    # 1-sublane shapes SIGABRT the Mosaic lowering ("limits[i] <= dim(i)",
+    # measured on v5e).
+    v = hitm
+    sh = 1
+    while sh < LANE:
+        v = v | pltpu.roll(v, sh, 1)
+        sh *= 2
+    sh = 1
+    while sh < v.shape[0]:
+        v = v | pltpu.roll(v, sh, 0)
+        sh *= 2
+    return v[0, 0]
+
+
+def _slab8(ox, oy, oz, ix, iy, iz, lox, loy, loz, hix, hiy, hiz, t_min, t_upper):
+    """Slab test of the whole (sub, LANE) ray tile vs one scalar AABB."""
+    tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
+    ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
+    tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_upper),
+    )
+    return t_near <= t_far
+
+
+def _node_row(wrow, w):
+    """One wide node: (rd, rdi) static-lane scalar readers for its 64-lane
+    half of the dynamically loaded row."""
+    row = wrow[w // 2, :]
+    rowi = jax.lax.bitcast_convert_type(row, jnp.int32)
+    half = w % 2
+
+    def rd(k):
+        return jnp.where(half == 0, row[k], row[64 + k])
+
+    def rdi(k):
+        return jnp.where(half == 0, rowi[k], rowi[64 + k])
+
+    return rd, rdi
+
+
+def _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper, interpret):
+    """Slab-test all 8 children, return the scalar pass-bit word."""
+    hitm = jnp.zeros(upper.shape, jnp.int32)
+    for c in range(ENTRIES):
+        boxed = _slab8(
+            oxv, oyv, ozv, ix, iy, iz,
+            rd(6 * c), rd(6 * c + 1), rd(6 * c + 2),
+            rd(6 * c + 3), rd(6 * c + 4), rd(6 * c + 5),
+            t_min, upper,
+        )
+        hitm = hitm | jnp.where(boxed, jnp.int32(1 << c), jnp.int32(0))
+    return _or_reduce_bits(hitm, interpret)
+
+
+def _leaf_dma(rows, row_s, sem, c, row0):
+    return pltpu.make_async_copy(
+        rows.at[pl.ds(row0, R_MAX_ROWS), :],
+        row_s.at[pl.ds(c * R_MAX_ROWS, R_MAX_ROWS), :],
+        sem.at[c],
+    )
+
+
+def _start_leaf_dmas(metas, bits, rows, row_s, sem):
+    """Kick off the fat-leaf row copies for every passing leaf child before
+    any is consumed — up to 8 DMAs in flight hide HBM latency."""
+    for c in range(ENTRIES):
+        m = metas[c]
+        hit_c = ((bits >> c) & 1) > 0
+
+        @pl.when(hit_c & (m < 0))
+        def _(c=c, m=m):
+            _leaf_dma(rows, row_s, sem, c, jnp.maximum((~m) >> 3, 0)).start()
+
+
+def _wide_specs(tri_in_hbm: bool):
+    space = pl.ANY if tri_in_hbm else pltpu.VMEM
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wrow
+        pl.BlockSpec(memory_space=space),       # tri_rows
+    ]
+
+
+def _dma_scratch(tri_in_hbm: bool):
+    if not tri_in_hbm:
+        return []
+    return [
+        pltpu.VMEM((ENTRIES * R_MAX_ROWS, LANE), jnp.float32),
+        pltpu.SemaphoreType.DMA((ENTRIES,)),
+    ]
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
+def _prep(rays: Rays, wide: WideBVH, sub: int, *extra):
+    """Common wrapper front half: stop-grad, pad to (P, 1, sub, LANE)."""
+    # The walk is a non-differentiable lookup (pallas_call has no JVP rule;
+    # the diff layer recomputes attributes from ids) — cut the tangent path
+    # on the INPUTS (stop_gradient on outputs alone still traces JVP into
+    # the kernel; see kernels/traverse.py).
+    rays = jax.lax.stop_gradient(rays)
+    wide = jax.lax.stop_gradient(wide)
+    comps, p, n = _pad_tiles(rays, sub, *extra, walks=1)
+    return rays, wide, comps, p, n
+
+
+# ---------------------------------------------------------------------------
+# Closest hit
+# ---------------------------------------------------------------------------
+def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
+                     t_o, u_o, v_o, id_o, stack, *dma,
+                     t_min: float, sub: int, tri_in_hbm: bool,
+                     interpret: bool):
+    oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
+    dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    t_o[0, 0] = jnp.full((sub, LANE), T_MAX, jnp.float32)
+    u_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
+    v_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
+    id_o[0, 0] = jnp.full((sub, LANE), -1, jnp.int32)
+    stack[0] = jnp.int32(0)
+    row_s, sem = dma if tri_in_hbm else (None, None)
+
+    def body(sp):
+        w = stack[sp - 1]
+        sp = sp - 1
+        rd, rdi = _node_row(wrow, w)
+        metas = [rdi(48 + c) for c in range(ENTRIES)]
+        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, t_o[0, 0],
+                           interpret)
+        if tri_in_hbm:
+            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+        for c in range(ENTRIES):
+            m = metas[c]
+            hit_c = ((bits >> c) & 1) > 0
+            n_rows = ((~m) & 7) + 1
+            # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
+            # VMEM loads even when their pl.when predicate is false
+            # (measured on v5e: a negative-index load inside a dead branch
+            # hangs/faults the kernel), and for internal children ~m >> 3 is
+            # negative.  Clamped dead loads read pad rows — harmless.
+            row0 = jnp.maximum((~m) >> 3, 0)
+            for r in range(R_MAX_ROWS):
+                @pl.when(hit_c & (m < 0) & (r < n_rows))
+                def _(c=c, r=r, row0=row0):
+                    if tri_in_hbm:
+                        if r == 0:
+                            _leaf_dma(rows, row_s, sem, c, row0).wait()
+                        trow = row_s[c * R_MAX_ROWS + r, :]
+                    else:
+                        trow = rows[row0 + r, :]
+                    trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
+                    t_b, u_b = t_o[0, 0], u_o[0, 0]
+                    v_b, id_b = v_o[0, 0], id_o[0, 0]
+                    for j in range(8):
+                        t, u, v, det = _mt_scalar_tri(
+                            oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
+                        )
+                        tid = trowi[72 + j]
+                        better = (t < t_b) | (
+                            (t == t_b) & (tid < id_b) & (id_b >= 0)
+                        )
+                        ok = (
+                            (jnp.abs(det) > DET_EPS)
+                            & (u >= 0.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (t > t_min)
+                            & better
+                            & (tid >= 0)
+                        )
+                        t_b = jnp.where(ok, t, t_b)
+                        u_b = jnp.where(ok, u, u_b)
+                        v_b = jnp.where(ok, v, v_b)
+                        id_b = jnp.where(ok, tid, id_b)
+                    t_o[0, 0] = t_b
+                    u_o[0, 0] = u_b
+                    v_o[0, 0] = v_b
+                    id_o[0, 0] = id_b
+            push = hit_c & (m >= 0) & (sp < STACK - 1)
+
+            @pl.when(push)
+            def _(m=m, sp=sp):
+                stack[sp] = m
+
+            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
+        return sp
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+
+def traverse_pallas8(
+    rays: Rays,
+    tris: Triangles,
+    wide: WideBVH,
+    t_min: float = DEFAULT_T_MIN,
+    sub: int = DEFAULT_SUB8,
+) -> Hit:
+    """Closest hit via the BVH8 stack walk (VMEM- or HBM-triangle tier)."""
+    plan = plan8(wide)
+    if plan is None:
+        raise RuntimeError(
+            f"traverse_pallas8: wide rows ({wide_bytes(wide)} B) exceed the "
+            f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+        )
+    (tri_in_hbm,) = plan
+    rays, wide, comps, p, n = _prep(rays, wide, sub)
+    ox, oy, oz, dx, dy, dz = comps
+    tile = jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.float32)
+    itile = jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32)
+    interp = _interpret()
+    t, u, v, tid = pl.pallas_call(
+        functools.partial(_closest8_kernel, t_min=t_min, sub=sub,
+                          tri_in_hbm=tri_in_hbm, interpret=interp),
+        grid=(p,),
+        in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
+        out_specs=[_ray_spec(sub, 1)] * 4,
+        out_shape=[tile, tile, tile, itile],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)]
+        + _dma_scratch(tri_in_hbm),
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
+    shape = rays.shape
+    return Hit(
+        t=t.reshape(-1)[:n].reshape(shape),
+        u=u.reshape(-1)[:n].reshape(shape),
+        v=v.reshape(-1)[:n].reshape(shape),
+        tri=tid.reshape(-1)[:n].reshape(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Any hit (hard shadows)
+# ---------------------------------------------------------------------------
+def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
+                      stack, *dma, t_min: float, sub: int, tri_in_hbm: bool,
+                      interpret: bool):
+    oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
+    dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    tmax = tm[0, 0]
+    blk_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
+    stack[0] = jnp.int32(0)
+    row_s, sem = dma if tri_in_hbm else (None, None)
+
+    def body(sp):
+        w = stack[sp - 1]
+        sp = sp - 1
+        rd, rdi = _node_row(wrow, w)
+        metas = [rdi(48 + c) for c in range(ENTRIES)]
+        # Blocked rays get upper < t_min so every slab test fails for them;
+        # once all rays block, bits go to 0 and the stack drains.
+        upper = jnp.where(blk_o[0, 0] > 0, t_min - 1.0, tmax)
+        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
+                           interpret)
+        if tri_in_hbm:
+            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+        for c in range(ENTRIES):
+            m = metas[c]
+            hit_c = ((bits >> c) & 1) > 0
+            n_rows = ((~m) & 7) + 1
+            # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
+            # VMEM loads even when their pl.when predicate is false
+            # (measured on v5e: a negative-index load inside a dead branch
+            # hangs/faults the kernel), and for internal children ~m >> 3 is
+            # negative.  Clamped dead loads read pad rows — harmless.
+            row0 = jnp.maximum((~m) >> 3, 0)
+            for r in range(R_MAX_ROWS):
+                @pl.when(hit_c & (m < 0) & (r < n_rows))
+                def _(c=c, r=r, row0=row0):
+                    if tri_in_hbm:
+                        if r == 0:
+                            _leaf_dma(rows, row_s, sem, c, row0).wait()
+                        trow = row_s[c * R_MAX_ROWS + r, :]
+                    else:
+                        trow = rows[row0 + r, :]
+                    trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
+                    blocked = blk_o[0, 0] > 0
+                    for j in range(8):
+                        t, u, v, det = _mt_scalar_tri(
+                            oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
+                        )
+                        ok = (
+                            (jnp.abs(det) > DET_EPS)
+                            & (u >= 0.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (t > t_min)
+                            & (t < tmax)
+                            & (trowi[72 + j] >= 0)
+                        )
+                        blocked = blocked | ok
+                    blk_o[0, 0] = blocked.astype(jnp.int32)
+            push = hit_c & (m >= 0) & (sp < STACK - 1)
+
+            @pl.when(push)
+            def _(m=m, sp=sp):
+                stack[sp] = m
+
+            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
+        return sp
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+
+def occluded_pallas8(
+    rays: Rays,
+    tris: Triangles,
+    wide: WideBVH,
+    t_max,
+    t_min: float = DEFAULT_T_MIN,
+    sub: int = DEFAULT_SUB8,
+) -> Array:
+    plan = plan8(wide)
+    if plan is None:
+        raise RuntimeError(
+            f"occluded_pallas8: wide rows ({wide_bytes(wide)} B) exceed the "
+            f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+        )
+    (tri_in_hbm,) = plan
+    shape = rays.shape
+    tmax_flat = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    ).reshape(-1)
+    rays, wide, comps, p, n = _prep(rays, wide, sub, tmax_flat)
+    ox, oy, oz, dx, dy, dz, tm = comps
+    interp = _interpret()
+    blk = pl.pallas_call(
+        functools.partial(_occluded8_kernel, t_min=t_min, sub=sub,
+                          tri_in_hbm=tri_in_hbm, interpret=interp),
+        grid=(p,),
+        in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
+        out_specs=_ray_spec(sub, 1),
+        out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)]
+        + _dma_scratch(tri_in_hbm),
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
+    return (blk.reshape(-1)[:n] > 0).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# K nearest extended hits (soft/differentiable path)
+# ---------------------------------------------------------------------------
+def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
+                   stack, *dma, t_min: float, k: int, band: float, sub: int,
+                   tri_in_hbm: bool, interpret: bool):
+    big_id = jnp.int32(2**31 - 1)
+    oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
+    dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
+    ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    tmax = tm[0, 0]
+    for i in range(k):
+        ts_s[i] = jnp.full((sub, LANE), T_MAX, jnp.float32)
+        ids_o[0, 0, i] = jnp.full((sub, LANE), big_id, jnp.int32)
+    stack[0] = jnp.int32(0)
+    row_s, sem = dma if tri_in_hbm else (None, None)
+
+    def insert(ts, ids, t, tid, ok):
+        """Bubble (t, tid) into the sorted k-lists, lexicographic on (t, id)
+        — identical ordering to accel/packet.  Dedup by id first: boundary
+        rows shared by adjacent fat leaves test the same triangle twice."""
+        dup = (ids[0] == tid)
+        for i in range(1, k):
+            dup = dup | (ids[i] == tid)
+        tc = jnp.where(ok & ~dup, t, T_MAX)
+        ic = jnp.where(ok & ~dup, tid, big_id)
+        for i in range(k):
+            less = (tc < ts[i]) | ((tc == ts[i]) & (ic < ids[i]))
+            ts[i], tc = jnp.where(less, tc, ts[i]), jnp.where(less, ts[i], tc)
+            ids[i], ic = (
+                jnp.where(less, ic, ids[i]),
+                jnp.where(less, ids[i], ic),
+            )
+        return ts, ids
+
+    def body(sp):
+        w = stack[sp - 1]
+        sp = sp - 1
+        rd, rdi = _node_row(wrow, w)
+        metas = [rdi(48 + c) for c in range(ENTRIES)]
+        upper = jnp.minimum(ts_s[k - 1], tmax)
+        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
+                           interpret)
+        if tri_in_hbm:
+            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+        for c in range(ENTRIES):
+            m = metas[c]
+            hit_c = ((bits >> c) & 1) > 0
+            n_rows = ((~m) & 7) + 1
+            # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
+            # VMEM loads even when their pl.when predicate is false
+            # (measured on v5e: a negative-index load inside a dead branch
+            # hangs/faults the kernel), and for internal children ~m >> 3 is
+            # negative.  Clamped dead loads read pad rows — harmless.
+            row0 = jnp.maximum((~m) >> 3, 0)
+            for r in range(R_MAX_ROWS):
+                @pl.when(hit_c & (m < 0) & (r < n_rows))
+                def _(c=c, r=r, row0=row0):
+                    if tri_in_hbm:
+                        if r == 0:
+                            _leaf_dma(rows, row_s, sem, c, row0).wait()
+                        trow = row_s[c * R_MAX_ROWS + r, :]
+                    else:
+                        trow = rows[row0 + r, :]
+                    trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
+                    ts = [ts_s[i] for i in range(k)]
+                    ids = [ids_o[0, 0, i] for i in range(k)]
+                    for j in range(8):
+                        t, u, v, det = _mt_scalar_tri(
+                            oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
+                        )
+                        tid = trowi[72 + j]
+                        ok = (
+                            (jnp.abs(det) > DET_EPS)
+                            & (u >= -band)
+                            & (v >= -band)
+                            & (u + v <= 1.0 + band)
+                            & (t > t_min)
+                            & (t < tmax)
+                            & (tid >= 0)
+                        )
+                        ts, ids = insert(ts, ids, t, tid, ok)
+                    for i in range(k):
+                        ts_s[i] = ts[i]
+                        ids_o[0, 0, i] = ids[i]
+            push = hit_c & (m >= 0) & (sp < STACK - 1)
+
+            @pl.when(push)
+            def _(m=m, sp=sp):
+                stack[sp] = m
+
+            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
+        return sp
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    for i in range(k):
+        # unfilled slots carry the big-id sentinel -> emit -1 like the oracle
+        ids_o[0, 0, i] = jnp.where(ids_o[0, 0, i] == big_id, -1,
+                                   ids_o[0, 0, i])
+
+
+def k_nearest_ids_pallas8(
+    rays: Rays,
+    tris: Triangles,
+    wide: WideBVH,
+    k: int,
+    band: float,
+    t_min: float = DEFAULT_T_MIN,
+    t_max=T_MAX,
+    sub: int = DEFAULT_SUB8,
+) -> Array:
+    """Nearest-k extended-hit tri ids per ray, (N, k) int32 (-1 = none)."""
+    plan = plan8(wide)
+    if plan is None:
+        raise RuntimeError(
+            f"k_nearest_ids_pallas8: wide rows ({wide_bytes(wide)} B) exceed "
+            f"the VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+        )
+    (tri_in_hbm,) = plan
+    shape = rays.shape
+    tmax_flat = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    ).reshape(-1)
+    rays, wide, comps, p, n = _prep(rays, wide, sub, tmax_flat)
+    ox, oy, oz, dx, dy, dz, tm = comps
+    interp = _interpret()
+    ids = pl.pallas_call(
+        functools.partial(_knear8_kernel, t_min=t_min, k=k, band=band,
+                          sub=sub, tri_in_hbm=tri_in_hbm, interpret=interp),
+        grid=(p,),
+        in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
+        out_specs=pl.BlockSpec(
+            (1, 1, k, sub, LANE), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((k, sub, LANE), jnp.float32),
+            pltpu.SMEM((STACK,), jnp.int32),
+        ]
+        + _dma_scratch(tri_in_hbm),
+        compiler_params=_compiler_params(),
+        interpret=interp,
+    )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
+    # (p, 1, k, sub, 128) -> (p*sub*128, k)
+    ids = jnp.moveaxis(ids, 2, 4).reshape(-1, k)
+    return ids[:n]

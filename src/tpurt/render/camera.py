@@ -64,3 +64,33 @@ def gen_tile_rays(cam: Camera, y0: int, x0: int, th: int, tw: int) -> Rays:
     py = (1.0 - (yy.reshape(-1) + 0.5) / h * 2.0) * tan_half
     d = normalize(px[:, None] * right + py[:, None] * up + fwd)
     return Rays(o=jnp.broadcast_to(cam.eye, d.shape), d=d)
+
+
+def pixel_morton_perm(height: int, width: int):
+    """Static Morton (Z-order) permutation of row-major pixel indices.
+
+    Packet engines walk rays in flat order; scanline order gives a packet one
+    thin 128x1 strip whose rays' traversal subtrees barely overlap, while
+    Z-order gives it a compact ~16x16 screen tile (SURVEY.md §7 #10 "sort
+    rays for coherence").  Pure numpy at trace time — the permutation depends
+    only on the (static) resolution, so reordering costs one gather each way.
+
+    Returns (perm, inv): rays_morton = rays_flat[perm]; x_flat = x_morton[inv].
+    """
+    import numpy as np
+
+    yy, xx = np.mgrid[0:height, 0:width]
+
+    def _spread(v):  # interleave-ready 16-bit spread (Morton magic constants)
+        v = v.astype(np.uint32)
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (_spread(xx) | (_spread(yy) << 1)).reshape(-1)
+    perm = np.argsort(code, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv

@@ -52,7 +52,8 @@ SHADOW_T_FRAC = 1.0 - 1e-3  # stop shadow rays just before the light
 class Tracer(struct.PyTreeNode):
     """Traversal engine bound to a scene.
 
-    method (static): 'brute' | 'bvh' | 'packet' | 'wave' | 'pallas'.
+    method (static): 'brute' | 'bvh' | 'packet' | 'wave' | 'pallas' |
+    'pallas8'.
     - 'brute':  O(R*T) oracle (accel/intersect.py).
     - 'bvh':    per-ray pure-JAX LBVH traversal (accel/traverse_ref.py) —
                 CPU oracle; per-ray node gathers blow up on TPU.
@@ -60,12 +61,15 @@ class Tracer(struct.PyTreeNode):
                 carries its layout.
     - 'wave':   lockstep wavefront traversal (accel/wavefront.py) — the
                 TPU-fast engine (bulk gathers, one global while loop).
-    - 'pallas': Pallas TPU kernels (kernels/traverse.py), packed layout.
+    - 'pallas': binary-BVH Pallas kernels (kernels/traverse.py).
+    - 'pallas8': 8-wide BVH Pallas kernels (kernels/traverse8.py) — the
+                production TPU engine; `wide` carries its layout.
     """
 
     scene: Scene
     bvh: Any = None
     packed: Any = None
+    wide: Any = None
     method: str = struct.field(pytree_node=False, default="brute")
 
     # -- closest hit ------------------------------------------------------
@@ -88,6 +92,10 @@ class Tracer(struct.PyTreeNode):
             from tpurt.kernels.traverse import traverse_pallas
 
             return traverse_pallas(rays, self.scene.tris, self.packed)
+        if self.method == "pallas8":
+            from tpurt.kernels.traverse8 import traverse_pallas8
+
+            return traverse_pallas8(rays, self.scene.tris, self.wide)
         raise ValueError(self.method)
 
     # -- K nearest extended hits (soft/differentiable path) ---------------
@@ -98,7 +106,7 @@ class Tracer(struct.PyTreeNode):
             from tpurt.accel.traverse_ref import k_nearest_ref
 
             return k_nearest_ref(rays, self.scene.tris, self.bvh, k=k, band=band)
-        if self.method in ("packet", "wave", "pallas"):
+        if self.method in ("packet", "wave", "pallas", "pallas8"):
             if self.method == "packet":
                 from tpurt.accel.packet import k_nearest_ids_packet as knid
 
@@ -107,6 +115,12 @@ class Tracer(struct.PyTreeNode):
                 from tpurt.accel.wavefront import wave_k_ids
 
                 ids = wave_k_ids(rays, self.scene.tris, self.bvh, k=k, band=band)
+            elif self.method == "pallas8":
+                from tpurt.kernels.traverse8 import k_nearest_ids_pallas8
+
+                ids = k_nearest_ids_pallas8(
+                    rays, self.scene.tris, self.wide, k=k, band=band
+                )
             else:
                 from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
 
@@ -144,6 +158,10 @@ class Tracer(struct.PyTreeNode):
             from tpurt.kernels.traverse import occluded_pallas
 
             occ = occluded_pallas(rays, self.scene.tris, self.packed, t_max=t_max)
+        elif self.method == "pallas8":
+            from tpurt.kernels.traverse8 import occluded_pallas8
+
+            occ = occluded_pallas8(rays, self.scene.tris, self.wide, t_max=t_max)
         else:
             raise ValueError(self.method)
         return 1.0 - occ.astype(jnp.float32)
@@ -161,7 +179,7 @@ class Tracer(struct.PyTreeNode):
             return soft_occlusion_ref(
                 rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
             )
-        if self.method in ("packet", "wave", "pallas"):
+        if self.method in ("packet", "wave", "pallas", "pallas8"):
             from tpurt.diff.softvis import soft_occlusion_from_ids
 
             shape = rays.shape
@@ -179,6 +197,13 @@ class Tracer(struct.PyTreeNode):
 
                 ids = wave_k_ids(flat, self.scene.tris, self.bvh, k=k_occ,
                                  band=band, t_max=2.0 * tmax_arr)
+            elif self.method == "pallas8":
+                from tpurt.kernels.traverse8 import k_nearest_ids_pallas8
+
+                ids = k_nearest_ids_pallas8(
+                    flat, self.scene.tris, self.wide, k=k_occ,
+                    band=band, t_max=2.0 * tmax_arr,
+                )
             else:
                 from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
 
@@ -212,6 +237,7 @@ def make_tracer(
     )
     bvh = build(scene.tris, leaf_size=leaf_size, band=band)
     packed = None
+    wide = None
     if method in ("packet", "pallas"):
         from tpurt.accel.packet import max_cut_leaves, pack_bvh
 
@@ -220,7 +246,13 @@ def make_tracer(
         packed = jax.jit(pack_bvh, static_argnames=("n_leaves",))(
             scene.tris, bvh, n_leaves=n_leaves
         )
-    return Tracer(scene=scene, bvh=bvh, packed=packed, method=method)
+    if method == "pallas8":
+        from tpurt.accel.bvh8 import build_wide
+
+        # one host sync (the greedy collapse is host-side; topology is
+        # frozen afterwards — the fit loop refits boxes only)
+        wide = build_wide(scene.tris, bvh)
+    return Tracer(scene=scene, bvh=bvh, packed=packed, wide=wide, method=method)
 
 
 # ---------------------------------------------------------------------------

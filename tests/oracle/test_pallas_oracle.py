@@ -116,25 +116,15 @@ def test_hbm_tier_matches_packet(case, monkeypatch):
     assert np.array_equal(np.asarray(ids), np.asarray(ids_ref))
 
 
-def test_bf16_node_tier_matches_packet(case, monkeypatch):
-    """bf16-quantized nodes (conservative rounding) may only ADD node visits;
-    closest-hit results stay bitwise identical because accept tests use the
-    exact f32 triangle data."""
+def test_no_bf16_tier(case, monkeypatch):
+    """The bf16 node tier was REMOVED (its 2D bf16 dynamic row loads are
+    Mosaic-illegal on hardware, BENCH_r02); when f32 nodes exceed the budget
+    _plan must return None (-> logged packet fallback), never a bf16 plan."""
     import tpurt.kernels.traverse as kt
 
     tris, rays, packed = case
-    q = kt.quantize_nodes_bf16(packed)
-    assert q.node_f32.dtype == jnp.bfloat16
-    # conservative: every quantized box contains its f32 original
-    lo_q = np.asarray(q.node_f32[:, 0:3].astype(jnp.float32))
-    hi_q = np.asarray(q.node_f32[:, 3:6].astype(jnp.float32))
-    assert (lo_q <= np.asarray(packed.node_f32[:, 0:3]) + 1e-30).all()
-    assert (hi_q >= np.asarray(packed.node_f32[:, 3:6]) - 1e-30).all()
-    # budget that forces: f32 nodes too big -> bf16 nodes + HBM tris
-    budget = kt.node_bytes(packed) - 64
-    monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", budget)
-    plan = kt._plan(packed)
-    assert plan is not None and plan[3] and plan[0].dtype == jnp.bfloat16
-    got = kt.traverse_pallas(rays, tris, packed)
+    monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", kt.node_bytes(packed) - 64)
+    assert kt._plan(packed) is None
+    got = kt.traverse_pallas(rays, tris, packed)  # falls back, still correct
     ref = traverse_packet(rays, tris, packed)
     assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))

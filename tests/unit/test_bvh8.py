@@ -1,0 +1,105 @@
+"""WideBVH collapse/pack invariants (accel/bvh8.py).
+
+The greedy host-side collapse must partition the triangle range exactly:
+fat-leaf ranges are disjoint and cover [0, N), every non-root wide node is
+referenced exactly once, entry counts respect arity, and fat leaves span at
+most R_MAX_ROWS universal rows.  refit_wide after a vertex move must equal a
+fresh pack of the same topology.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.accel.bvh8 import (
+    ENTRIES,
+    FAT_TRIS,
+    R_MAX_ROWS,
+    build_wide,
+    collapse8,
+    pack_wide,
+    refit_wide,
+)
+from tpurt.accel.lbvh import build_lbvh
+from tpurt.accel.refit import refit_aabbs
+from tpurt.core.scene import make_bunny_scene, make_cornell_box
+
+
+def _decode_leaf(meta: int):
+    enc = ~meta
+    return enc >> 3, (enc & 7) + 1
+
+
+def _check_invariants(en, em, first, last, n):
+    w = en.shape[0]
+    covered = np.zeros(n, bool)
+    child_refs = np.zeros(w, np.int64)
+    for wi in range(w):
+        n_entries = int((en[wi] >= 0).sum())
+        assert 1 <= n_entries <= ENTRIES
+        # valid entries are a prefix (sorted by range start at build)
+        assert (en[wi, :n_entries] >= 0).all()
+        for e in range(n_entries):
+            node = int(en[wi, e])
+            m = int(em[wi, e])
+            if m < 0:  # fat leaf
+                f, l = int(first[node]), int(last[node])
+                assert l - f + 1 <= FAT_TRIS
+                r0, nr = _decode_leaf(m)
+                assert r0 == f // 8 and nr == l // 8 - f // 8 + 1
+                assert nr <= R_MAX_ROWS
+                assert not covered[f : l + 1].any(), "leaf ranges overlap"
+                covered[f : l + 1] = True
+            else:
+                assert 0 < m < w, "child wide id out of range / self-ref root"
+                child_refs[m] += 1
+    assert covered.all(), "fat leaves must cover every triangle"
+    assert (child_refs[1:] == 1).all(), "every non-root wide referenced once"
+    assert child_refs[0] == 0, "root must not be referenced"
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 16, 17, 100, 1000])
+def test_collapse_invariants_random(n):
+    rng = np.random.default_rng(n)
+    verts = rng.normal(size=(3 * n, 3)).astype(np.float32)
+    faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    from tpurt.core.geometry import Triangles
+
+    tris = Triangles(
+        verts=jnp.asarray(verts),
+        faces=jnp.asarray(faces),
+        albedo=jnp.ones((n, 3), jnp.float32),
+        emission=jnp.zeros((n, 3), jnp.float32),
+    )
+    bvh = build_lbvh(tris)
+    left, right, first, last = jax.device_get(
+        (bvh.left, bvh.right, bvh.first, bvh.last)
+    )
+    en, em = collapse8(np.asarray(left), np.asarray(right),
+                       np.asarray(first), np.asarray(last))
+    _check_invariants(en, em, first, last, n)
+
+
+def test_pack_and_refit_consistent():
+    scene, _ = make_bunny_scene(num_tris=900)
+    bvh = build_lbvh(scene.tris)
+    wide = build_wide(scene.tris, bvh)
+    # move vertices, refit the binary BVH, then refit the wide layout
+    tris2 = scene.tris.replace(verts=scene.tris.verts * 1.1 + 0.03)
+    bvh2 = refit_aabbs(bvh, tris2)
+    w_refit = refit_wide(wide, bvh2, tris2)
+    w_fresh = jax.jit(pack_wide)(tris2, bvh2, wide.entry_node, wide.entry_meta)
+    for a, b in zip(jax.tree_util.tree_leaves(w_refit),
+                    jax.tree_util.tree_leaves(w_fresh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_single_triangle_scene():
+    scene, _ = make_cornell_box()
+    t = scene.tris
+    tris = t.replace(faces=t.faces[:1], albedo=t.albedo[:1],
+                     emission=t.emission[:1])
+    bvh = build_lbvh(tris)
+    wide = build_wide(tris, bvh)
+    assert wide.num_wides == 1
