@@ -6,31 +6,44 @@ scalars plus a full-tile `any()` per visit (docs/PERF.md).  This engine
 restructures traversal around what the hardware does cheaply:
 
 - ONE dynamic f32 row load per visit yields a whole wide node: 8 children's
-  AABBs + metas at STATIC lane offsets (accel/bvh8.py layout) — static lane
-  extracts compile to cheap scalar moves, no cross-lane reductions at all.
-- 8 slab tests per visit are pure VPU throughput over the (sub, 128) ray
-  tile; their masks accumulate into ONE i32 bit-mask tile.
-- The per-visit "which children passed" reduction is log2 static
-  `pltpu.roll`s (legal; dynamic shifts are not) + ORs — one reduction per
-  visit for all 8 children instead of one `any()` per node.
-- Traversal state is a scalar SMEM stack (pop one wide id per visit, push
-  passing internal children) — scalar SMEM loads/stores with dynamic index
-  are the cheap path on TPU, unlike dynamic lane access.
-- Fat-leaf fetches are ONE contiguous (<=3, 128) row read (VMEM tier) or one
-  async DMA per passing leaf child, started for ALL passing children before
-  any is consumed so up to 8 copies overlap (HBM tier, 1M-tri scenes).
+  AABBs + metas + the node's own AABB + escape link, all at STATIC lane
+  offsets (accel/bvh8.py layout) — static lane extracts compile to cheap
+  scalar moves, no cross-lane one-hot reductions at all.
+- 9 slab tests per visit (own box + 8 children) are pure VPU throughput
+  over the (sub, 128) ray tile; their masks accumulate into ONE i32
+  bit-mask tile whose reduction is log2 static `pltpu.roll`s — one
+  reduction per visit instead of one `any()` per binary node.
+- Traversal is STACKLESS: wide nodes are DFS-ordered with escape links
+  (own-box hit -> w+1 when internal children exist, miss -> escape); the
+  only loop state is the scalar cursor.  This is deliberate: dynamic-index
+  SMEM stores inside a `lax.while_loop` body hang/fault Mosaic kernels on
+  real v5e hardware (measured — in `fori_loop` they work, in `while_loop`
+  they do not), so a traversal stack is not implementable; the
+  escape-threaded walk is the structure the round-2 binary kernel proved
+  on-chip.
+- Fat-leaf fetches are ONE contiguous (<=3, 128) row read (VMEM tier) or
+  one async DMA per passing leaf child, started for ALL passing children
+  before any is consumed so up to 8 copies overlap (HBM tier).
 - The whole packed BVH8 is f32: ~36 B/node-equivalent fits 1M-tri scenes in
   VMEM without the bf16 tier whose dynamic row loads Mosaic rejects
   (VERDICT r2 missing #1).
 - grid packets are `dimension_semantics=("parallel",)` so megacore splits
   them across both TensorCores.
 
-Semantics: identical accept tests and lexicographic (t, tri-id) selection as
-accel/packet (the oracle) — selection is visit-order- and
+Hardware legality notes baked in below (each measured on v5e this round):
+  * rolls must stay on full (8k, 128) tile shapes (sub-tile rolls SIGABRT
+    the Mosaic lowering);
+  * dynamic row loads are issued even inside a false `@pl.when` — indices
+    must be clamped valid unconditionally;
+  * dynamically row-indexed VMEM arrays must span >= one full (8, 128)
+    tile (accel/bvh8 pads).
+
+Semantics: identical accept tests and lexicographic (t, tri-id) selection
+as accel/packet (the oracle) — selection is visit-order- and
 superset-invariant, so universal 8-aligned tri rows (which may test a few
-out-of-leaf triangles) and stack order cannot change results; the k-nearest
-insert dedups by id since boundary rows can be shared by adjacent fat
-leaves.
+out-of-leaf triangles) and escape order cannot change results; the
+k-nearest insert dedups by id since boundary rows can be shared by
+adjacent fat leaves.
 
 The reference repo has no kernels of any kind to mirror (SURVEY.md §0); the
 target is BASELINE.json:5 (>=100M primary rays/s/chip at 1M tris).
@@ -49,6 +62,7 @@ from tpurt.accel.bvh8 import (
     ENTRIES,
     R_MAX_ROWS,
     WideBVH,
+    decode_lane_i32,
     tri_rows_bytes,
     wide_bytes,
 )
@@ -67,7 +81,6 @@ Array = jax.Array
 
 LANE = 128
 DEFAULT_SUB8 = 16  # (sub, 128) rays per packet walk
-STACK = 1024  # wide-tree depth (<=22 at 5M tris) x <=7 pushes, with margin
 # VMEM headroom reserved for ray tiles, leaf DMA scratch and double buffers.
 _SCRATCH_HEADROOM = 256 * 1024
 
@@ -86,17 +99,15 @@ def plan8(wide: WideBVH):
 def _or_reduce_bits(hitm: Array, interpret: bool) -> Array:
     """(sub, LANE) i32 bit-mask tile -> scalar OR of every element.
 
-    Compiled path: fold sublanes with static row ORs, then lanes with log2
-    static circular `pltpu.roll`s — no cross-lane one-hot reductions, no
-    dynamic shifts (both measured-illegal/slow on Mosaic, see
-    kernels/traverse._onehot_extract)."""
+    Compiled path: log2 static circular `pltpu.roll`s + ORs, every
+    intermediate on the full tile-legal (sub, 128) shape — rolls on
+    1-sublane shapes SIGABRT the Mosaic lowering ("limits[i] <= dim(i)",
+    measured on v5e), and one-hot reductions are the measured r2
+    bottleneck."""
     if interpret:
         return jax.lax.reduce(
             hitm, jnp.int32(0), jax.lax.bitwise_or, tuple(range(hitm.ndim))
         )
-    # Every roll stays on the full tile-legal (sub, 128) shape: rolls on
-    # 1-sublane shapes SIGABRT the Mosaic lowering ("limits[i] <= dim(i)",
-    # measured on v5e).
     v = hitm
     sh = 1
     while sh < LANE:
@@ -141,9 +152,15 @@ def _node_row(wrow, w):
     return rd, rdi
 
 
-def _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper, interpret):
-    """Slab-test all 8 children, return the scalar pass-bit word."""
-    hitm = jnp.zeros(upper.shape, jnp.int32)
+def _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper, interpret):
+    """Bit 0: any ray passes the node's OWN box; bit c+1: any ray passes
+    (own AND child c's box) — the leaf gates.  One reduction total."""
+    own = _slab8(
+        oxv, oyv, ozv, ix, iy, iz,
+        rd(56), rd(57), rd(58), rd(59), rd(60), rd(61),
+        t_min, upper,
+    )
+    hitm = jnp.where(own, jnp.int32(1), jnp.int32(0))
     for c in range(ENTRIES):
         boxed = _slab8(
             oxv, oyv, ozv, ix, iy, iz,
@@ -151,7 +168,8 @@ def _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper, interpret):
             rd(6 * c + 3), rd(6 * c + 4), rd(6 * c + 5),
             t_min, upper,
         )
-        hitm = hitm | jnp.where(boxed, jnp.int32(1 << c), jnp.int32(0))
+        hitm = hitm | jnp.where(boxed & own, jnp.int32(1 << (c + 1)),
+                                jnp.int32(0))
     return _or_reduce_bits(hitm, interpret)
 
 
@@ -168,11 +186,17 @@ def _start_leaf_dmas(metas, bits, rows, row_s, sem):
     any is consumed — up to 8 DMAs in flight hide HBM latency."""
     for c in range(ENTRIES):
         m = metas[c]
-        hit_c = ((bits >> c) & 1) > 0
+        hit_c = ((bits >> (c + 1)) & 1) > 0
 
         @pl.when(hit_c & (m < 0))
         def _(c=c, m=m):
             _leaf_dma(rows, row_s, sem, c, jnp.maximum((~m) >> 3, 0)).start()
+
+
+def _next_cursor(cur, bits, esc, has_i):
+    """Escape-threaded DFS step: descend to cur+1 (the first internal child)
+    only when the own box passed and internal children exist."""
+    return jnp.where(((bits & 1) > 0) & (has_i > 0), cur + 1, esc)
 
 
 def _wide_specs(tri_in_hbm: bool):
@@ -208,11 +232,18 @@ def _prep(rays: Rays, wide: WideBVH, sub: int, *extra):
     return rays, wide, comps, p, n
 
 
+def _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm):
+    """The (128,) f32 triangle row for slot r of leaf child c."""
+    if tri_in_hbm:
+        return row_s[c * R_MAX_ROWS + r, :]
+    return rows[row0 + r, :]
+
+
 # ---------------------------------------------------------------------------
 # Closest hit
 # ---------------------------------------------------------------------------
 def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
-                     t_o, u_o, v_o, id_o, stack, *dma,
+                     t_o, u_o, v_o, id_o, *dma,
                      t_min: float, sub: int, tri_in_hbm: bool,
                      interpret: bool):
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
@@ -222,37 +253,31 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
     u_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
     v_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
     id_o[0, 0] = jnp.full((sub, LANE), -1, jnp.int32)
-    stack[0] = jnp.int32(0)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
-    def body(sp):
-        w = stack[sp - 1]
-        sp = sp - 1
-        rd, rdi = _node_row(wrow, w)
-        metas = [rdi(48 + c) for c in range(ENTRIES)]
-        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, t_o[0, 0],
+    def body(cur):
+        rd, rdi = _node_row(wrow, cur)
+        metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
+        esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
+        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, t_o[0, 0],
                            interpret)
         if tri_in_hbm:
             _start_leaf_dmas(metas, bits, rows, row_s, sem)
         for c in range(ENTRIES):
             m = metas[c]
-            hit_c = ((bits >> c) & 1) > 0
+            hit_c = ((bits >> (c + 1)) & 1) > 0
             n_rows = ((~m) & 7) + 1
             # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
             # VMEM loads even when their pl.when predicate is false
-            # (measured on v5e: a negative-index load inside a dead branch
-            # hangs/faults the kernel), and for internal children ~m >> 3 is
+            # (measured on v5e), and for internal children ~m >> 3 is
             # negative.  Clamped dead loads read pad rows — harmless.
             row0 = jnp.maximum((~m) >> 3, 0)
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm:
-                        if r == 0:
-                            _leaf_dma(rows, row_s, sem, c, row0).wait()
-                        trow = row_s[c * R_MAX_ROWS + r, :]
-                    else:
-                        trow = rows[row0 + r, :]
+                    if tri_in_hbm and r == 0:
+                        _leaf_dma(rows, row_s, sem, c, row0).wait()
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     t_b, u_b = t_o[0, 0], u_o[0, 0]
                     v_b, id_b = v_o[0, 0], id_o[0, 0]
@@ -260,7 +285,7 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                         t, u, v, det = _mt_scalar_tri(
                             oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
                         )
-                        tid = trowi[72 + j]
+                        tid = decode_lane_i32(trowi[72 + j])
                         better = (t < t_b) | (
                             (t == t_b) & (tid < id_b) & (id_b >= 0)
                         )
@@ -281,16 +306,9 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                     u_o[0, 0] = u_b
                     v_o[0, 0] = v_b
                     id_o[0, 0] = id_b
-            push = hit_c & (m >= 0) & (sp < STACK - 1)
+        return _next_cursor(cur, bits, esc, has_i)
 
-            @pl.when(push)
-            def _(m=m, sp=sp):
-                stack[sp] = m
-
-            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
-        return sp
-
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
 
 
 def traverse_pallas8(
@@ -300,7 +318,7 @@ def traverse_pallas8(
     t_min: float = DEFAULT_T_MIN,
     sub: int = DEFAULT_SUB8,
 ) -> Hit:
-    """Closest hit via the BVH8 stack walk (VMEM- or HBM-triangle tier)."""
+    """Closest hit via the BVH8 escape walk (VMEM- or HBM-triangle tier)."""
     plan = plan8(wide)
     if plan is None:
         raise RuntimeError(
@@ -320,8 +338,7 @@ def traverse_pallas8(
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
         out_specs=[_ray_spec(sub, 1)] * 4,
         out_shape=[tile, tile, tile, itile],
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)]
-        + _dma_scratch(tri_in_hbm),
+        scratch_shapes=_dma_scratch(tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
@@ -338,47 +355,37 @@ def traverse_pallas8(
 # Any hit (hard shadows)
 # ---------------------------------------------------------------------------
 def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
-                      stack, *dma, t_min: float, sub: int, tri_in_hbm: bool,
+                      *dma, t_min: float, sub: int, tri_in_hbm: bool,
                       interpret: bool):
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     tmax = tm[0, 0]
     blk_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
-    stack[0] = jnp.int32(0)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
-    def body(sp):
-        w = stack[sp - 1]
-        sp = sp - 1
-        rd, rdi = _node_row(wrow, w)
-        metas = [rdi(48 + c) for c in range(ENTRIES)]
+    def body(cur):
+        rd, rdi = _node_row(wrow, cur)
+        metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
+        esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         # Blocked rays get upper < t_min so every slab test fails for them;
-        # once all rays block, bits go to 0 and the stack drains.
+        # once all rays block, bit 0 clears and the walk escapes to the end.
         upper = jnp.where(blk_o[0, 0] > 0, t_min - 1.0, tmax)
-        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
+        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
                            interpret)
         if tri_in_hbm:
             _start_leaf_dmas(metas, bits, rows, row_s, sem)
         for c in range(ENTRIES):
             m = metas[c]
-            hit_c = ((bits >> c) & 1) > 0
+            hit_c = ((bits >> (c + 1)) & 1) > 0
             n_rows = ((~m) & 7) + 1
-            # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
-            # VMEM loads even when their pl.when predicate is false
-            # (measured on v5e: a negative-index load inside a dead branch
-            # hangs/faults the kernel), and for internal children ~m >> 3 is
-            # negative.  Clamped dead loads read pad rows — harmless.
-            row0 = jnp.maximum((~m) >> 3, 0)
+            row0 = jnp.maximum((~m) >> 3, 0)  # clamp: see closest kernel
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm:
-                        if r == 0:
-                            _leaf_dma(rows, row_s, sem, c, row0).wait()
-                        trow = row_s[c * R_MAX_ROWS + r, :]
-                    else:
-                        trow = rows[row0 + r, :]
+                    if tri_in_hbm and r == 0:
+                        _leaf_dma(rows, row_s, sem, c, row0).wait()
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     blocked = blk_o[0, 0] > 0
                     for j in range(8):
@@ -392,20 +399,13 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
                             & (u + v <= 1.0)
                             & (t > t_min)
                             & (t < tmax)
-                            & (trowi[72 + j] >= 0)
+                            & (decode_lane_i32(trowi[72 + j]) >= 0)
                         )
                         blocked = blocked | ok
                     blk_o[0, 0] = blocked.astype(jnp.int32)
-            push = hit_c & (m >= 0) & (sp < STACK - 1)
+        return _next_cursor(cur, bits, esc, has_i)
 
-            @pl.when(push)
-            def _(m=m, sp=sp):
-                stack[sp] = m
-
-            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
-        return sp
-
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
 
 
 def occluded_pallas8(
@@ -437,8 +437,7 @@ def occluded_pallas8(
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
         out_specs=_ray_spec(sub, 1),
         out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)]
-        + _dma_scratch(tri_in_hbm),
+        scratch_shapes=_dma_scratch(tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
@@ -449,7 +448,7 @@ def occluded_pallas8(
 # K nearest extended hits (soft/differentiable path)
 # ---------------------------------------------------------------------------
 def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
-                   stack, *dma, t_min: float, k: int, band: float, sub: int,
+                   *dma, t_min: float, k: int, band: float, sub: int,
                    tri_in_hbm: bool, interpret: bool):
     big_id = jnp.int32(2**31 - 1)
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
@@ -459,7 +458,6 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
     for i in range(k):
         ts_s[i] = jnp.full((sub, LANE), T_MAX, jnp.float32)
         ids_o[0, 0, i] = jnp.full((sub, LANE), big_id, jnp.int32)
-    stack[0] = jnp.int32(0)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
     def insert(ts, ids, t, tid, ok):
@@ -480,35 +478,26 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
             )
         return ts, ids
 
-    def body(sp):
-        w = stack[sp - 1]
-        sp = sp - 1
-        rd, rdi = _node_row(wrow, w)
-        metas = [rdi(48 + c) for c in range(ENTRIES)]
+    def body(cur):
+        rd, rdi = _node_row(wrow, cur)
+        metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
+        esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         upper = jnp.minimum(ts_s[k - 1], tmax)
-        bits = _child_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
+        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
                            interpret)
         if tri_in_hbm:
             _start_leaf_dmas(metas, bits, rows, row_s, sem)
         for c in range(ENTRIES):
             m = metas[c]
-            hit_c = ((bits >> c) & 1) > 0
+            hit_c = ((bits >> (c + 1)) & 1) > 0
             n_rows = ((~m) & 7) + 1
-            # Clamp BEFORE the predicated leaf body: Mosaic issues dynamic
-            # VMEM loads even when their pl.when predicate is false
-            # (measured on v5e: a negative-index load inside a dead branch
-            # hangs/faults the kernel), and for internal children ~m >> 3 is
-            # negative.  Clamped dead loads read pad rows — harmless.
-            row0 = jnp.maximum((~m) >> 3, 0)
+            row0 = jnp.maximum((~m) >> 3, 0)  # clamp: see closest kernel
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm:
-                        if r == 0:
-                            _leaf_dma(rows, row_s, sem, c, row0).wait()
-                        trow = row_s[c * R_MAX_ROWS + r, :]
-                    else:
-                        trow = rows[row0 + r, :]
+                    if tri_in_hbm and r == 0:
+                        _leaf_dma(rows, row_s, sem, c, row0).wait()
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     ts = [ts_s[i] for i in range(k)]
                     ids = [ids_o[0, 0, i] for i in range(k)]
@@ -516,7 +505,7 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
                         t, u, v, det = _mt_scalar_tri(
                             oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
                         )
-                        tid = trowi[72 + j]
+                        tid = decode_lane_i32(trowi[72 + j])
                         ok = (
                             (jnp.abs(det) > DET_EPS)
                             & (u >= -band)
@@ -530,16 +519,9 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
                     for i in range(k):
                         ts_s[i] = ts[i]
                         ids_o[0, 0, i] = ids[i]
-            push = hit_c & (m >= 0) & (sp < STACK - 1)
+        return _next_cursor(cur, bits, esc, has_i)
 
-            @pl.when(push)
-            def _(m=m, sp=sp):
-                stack[sp] = m
-
-            sp = sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
-        return sp
-
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
     for i in range(k):
         # unfilled slots carry the big-id sentinel -> emit -1 like the oracle
         ids_o[0, 0, i] = jnp.where(ids_o[0, 0, i] == big_id, -1,
@@ -581,10 +563,7 @@ def k_nearest_ids_pallas8(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((k, sub, LANE), jnp.float32),
-            pltpu.SMEM((STACK,), jnp.int32),
-        ]
+        scratch_shapes=[pltpu.VMEM((k, sub, LANE), jnp.float32)]
         + _dma_scratch(tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,

@@ -31,15 +31,21 @@ def _decode_leaf(meta: int):
     return enc >> 3, (enc & 7) + 1
 
 
-def _check_invariants(en, em, first, last, n):
+def _check_invariants(en, em, own, esc, has_int, first, last, n):
     w = en.shape[0]
     covered = np.zeros(n, bool)
     child_refs = np.zeros(w, np.int64)
+
+    def end(wi):  # first DFS id after wi's subtree
+        return int(esc[wi]) if esc[wi] >= 0 else w
+
+    assert int(own[0]) == 0, "wide 0 must anchor the root node"
     for wi in range(w):
         n_entries = int((en[wi] >= 0).sum())
         assert 1 <= n_entries <= ENTRIES
         # valid entries are a prefix (sorted by range start at build)
         assert (en[wi, :n_entries] >= 0).all()
+        kids = []
         for e in range(n_entries):
             node = int(en[wi, e])
             m = int(em[wi, e])
@@ -54,6 +60,16 @@ def _check_invariants(en, em, first, last, n):
             else:
                 assert 0 < m < w, "child wide id out of range / self-ref root"
                 child_refs[m] += 1
+                kids.append(m)
+        assert bool(has_int[wi]) == (len(kids) > 0)
+        # DFS escape threading: first child is wi+1, each child's subtree
+        # ends where the next begins, last child's subtree ends with wi's.
+        if kids:
+            kids.sort()
+            assert kids[0] == wi + 1, "first internal child must be wi+1"
+            for a, b in zip(kids, kids[1:]):
+                assert end(a) == b, "sibling escape must chain"
+            assert end(kids[-1]) == end(wi), "last child must escape with parent"
     assert covered.all(), "fat leaves must cover every triangle"
     assert (child_refs[1:] == 1).all(), "every non-root wide referenced once"
     assert child_refs[0] == 0, "root must not be referenced"
@@ -76,9 +92,10 @@ def test_collapse_invariants_random(n):
     left, right, first, last = jax.device_get(
         (bvh.left, bvh.right, bvh.first, bvh.last)
     )
-    en, em = collapse8(np.asarray(left), np.asarray(right),
-                       np.asarray(first), np.asarray(last))
-    _check_invariants(en, em, first, last, n)
+    en, em, own, esc, has_int = collapse8(
+        np.asarray(left), np.asarray(right),
+        np.asarray(first), np.asarray(last))
+    _check_invariants(en, em, own, esc, has_int, first, last, n)
 
 
 def test_pack_and_refit_consistent():
@@ -89,7 +106,10 @@ def test_pack_and_refit_consistent():
     tris2 = scene.tris.replace(verts=scene.tris.verts * 1.1 + 0.03)
     bvh2 = refit_aabbs(bvh, tris2)
     w_refit = refit_wide(wide, bvh2, tris2)
-    w_fresh = jax.jit(pack_wide)(tris2, bvh2, wide.entry_node, wide.entry_meta)
+    w_fresh = jax.jit(pack_wide)(
+        tris2, bvh2, wide.entry_node, wide.entry_meta,
+        wide.own_node, wide.escape, wide.has_int,
+    )
     for a, b in zip(jax.tree_util.tree_leaves(w_refit),
                     jax.tree_util.tree_leaves(w_fresh)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -103,3 +123,21 @@ def test_single_triangle_scene():
     bvh = build_lbvh(tris)
     wide = build_wide(tris, bvh)
     assert wide.num_wides == 1
+
+
+def test_lane_codec_roundtrip():
+    """encode_lane_i32/decode must roundtrip every value class and never
+    produce a denormal f32 pattern (TPUs flush denormals between packing
+    and the kernel's row load — measured on v5e, VERDICT-class bug)."""
+    from tpurt.accel.bvh8 import decode_lane_i32, encode_lane_i32
+
+    v = jnp.asarray([-1, 0, 1, 2, 7, 1000, 2**20, 2**23 - 2,
+                     -2, -11, -(2**22) + 1], jnp.int32)
+    enc = encode_lane_i32(v)
+    bits = np.asarray(jax.lax.bitcast_convert_type(enc, jnp.int32)).astype(np.uint32)
+    exp = (bits >> 23) & 0xFF
+    assert (exp != 0).all(), "denormal encodings are flushed on TPU"
+    dec = decode_lane_i32(jax.lax.bitcast_convert_type(enc, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(v))
+    # all-zero pad rows must decode to tid -1 (rejected)
+    assert int(decode_lane_i32(jnp.int32(0))) == -1
