@@ -81,6 +81,18 @@ Array = jax.Array
 
 LANE = 128
 DEFAULT_SUB8 = 16  # (sub, 128) rays per packet walk
+STACKV = 192  # VMEM stack rows: wide-tree depth (<=24 at 8M tris) x <=7 pushes
+# Measured on v5e (full frames, morton order): the stack walk skips failing
+# subtrees entirely and beats escape threading 8.3x at 1M tris (42.1M vs
+# 5.1M rays/s) and 1.6x on bunny — escape survives as the fallback shape
+# and for comparison (docs/PERF.md round 3).
+DEFAULT_WALK = "stack"  # 'stack' (VMEM row stack) | 'escape' (stackless)
+
+
+def _auto_sub(wide: WideBVH) -> int:
+    """Packet height: bigger tiles amortize per-visit work on big scenes
+    (measured: sub=64 best at 1M tris, sub=32 on 70K)."""
+    return 64 if wide.num_wides > 8192 else 32
 # VMEM headroom reserved for ray tiles, leaf DMA scratch and double buffers.
 _SCRATCH_HEADROOM = 256 * 1024
 
@@ -216,6 +228,48 @@ def _dma_scratch(tri_in_hbm: bool):
     ]
 
 
+def _walk_scratch(stack_walk: bool, tri_in_hbm: bool):
+    stk = [pltpu.VMEM((STACKV, LANE), jnp.int32)] if stack_walk else []
+    return stk + _dma_scratch(tri_in_hbm)
+
+
+def _stack_push(stk, sp, m, push):
+    """Unconditional select-store push: the only store form that works in a
+    while body on v5e (dynamic SMEM stores hang; predicated dynamic VMEM
+    stores are untested — the probe-proven pattern is read-modify-write of
+    a dynamic VMEM row).  Entry = a (LANE,) row filled with the wide id."""
+    idx = jnp.minimum(sp, STACKV - 1)
+    new = jnp.where(push, jnp.full((LANE,), m, jnp.int32), stk[idx])
+    stk[idx] = new
+    return sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
+
+
+def _stack_pop(stk, sp):
+    idx = jnp.maximum(sp - 1, 0)
+    top = stk[idx][0]
+    nxt = jnp.where(sp > 0, top, jnp.int32(-1))
+    return nxt, jnp.maximum(sp - 1, 0)
+
+
+def _run_walk(visit, stack_walk: bool, stk):
+    """Drive `visit(cur, sp) -> (bits, esc, has_i, sp)` to termination via
+    the selected traversal (VMEM row stack or escape threading)."""
+    if stack_walk:
+        def body(carry):
+            cur, sp = carry
+            _, _, _, sp = visit(cur, sp)
+            return _stack_pop(stk, sp)
+
+        jax.lax.while_loop(lambda s: s[0] >= 0, body,
+                           (jnp.int32(0), jnp.int32(0)))
+    else:
+        def body(cur):
+            bits, esc, has_i, _ = visit(cur, jnp.int32(0))
+            return _next_cursor(cur, bits, esc, has_i)
+
+        jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+
+
 def _compiler_params():
     return pltpu.CompilerParams(dimension_semantics=("parallel",))
 
@@ -243,9 +297,13 @@ def _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm):
 # Closest hit
 # ---------------------------------------------------------------------------
 def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
-                     t_o, u_o, v_o, id_o, *dma,
+                     t_o, u_o, v_o, id_o, *scratch,
                      t_min: float, sub: int, tri_in_hbm: bool,
-                     interpret: bool):
+                     interpret: bool, stack_walk: bool):
+    if stack_walk:
+        stk, dma = scratch[0], scratch[1:]
+    else:
+        stk, dma = None, scratch
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
@@ -255,7 +313,7 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
     id_o[0, 0] = jnp.full((sub, LANE), -1, jnp.int32)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
-    def body(cur):
+    def visit(cur, sp):
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
@@ -306,9 +364,12 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                     u_o[0, 0] = u_b
                     v_o[0, 0] = v_b
                     id_o[0, 0] = id_b
-        return _next_cursor(cur, bits, esc, has_i)
+            if stack_walk:
+                push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
+                sp = _stack_push(stk, sp, m, push)
+        return bits, esc, has_i, sp
 
-    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+    _run_walk(visit, stack_walk, stk)
 
 
 def traverse_pallas8(
@@ -316,9 +377,14 @@ def traverse_pallas8(
     tris: Triangles,
     wide: WideBVH,
     t_min: float = DEFAULT_T_MIN,
-    sub: int = DEFAULT_SUB8,
+    sub: int | None = None,
+    walk: str = DEFAULT_WALK,
 ) -> Hit:
-    """Closest hit via the BVH8 escape walk (VMEM- or HBM-triangle tier)."""
+    """Closest hit via the BVH8 walk (VMEM- or HBM-triangle tier).
+
+    walk='escape': stackless escape threading (visits failing internal
+    children once each).  walk='stack': VMEM row stack — skips failing
+    subtrees entirely at the cost of a push/pop pair per internal child."""
     plan = plan8(wide)
     if plan is None:
         raise RuntimeError(
@@ -326,6 +392,7 @@ def traverse_pallas8(
             f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    sub = _auto_sub(wide) if sub is None else sub
     rays, wide, comps, p, n = _prep(rays, wide, sub)
     ox, oy, oz, dx, dy, dz = comps
     tile = jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.float32)
@@ -333,12 +400,13 @@ def traverse_pallas8(
     interp = _interpret()
     t, u, v, tid = pl.pallas_call(
         functools.partial(_closest8_kernel, t_min=t_min, sub=sub,
-                          tri_in_hbm=tri_in_hbm, interpret=interp),
+                          tri_in_hbm=tri_in_hbm, interpret=interp,
+                          stack_walk=walk == "stack"),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
         out_specs=[_ray_spec(sub, 1)] * 4,
         out_shape=[tile, tile, tile, itile],
-        scratch_shapes=_dma_scratch(tri_in_hbm),
+        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
@@ -355,8 +423,12 @@ def traverse_pallas8(
 # Any hit (hard shadows)
 # ---------------------------------------------------------------------------
 def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
-                      *dma, t_min: float, sub: int, tri_in_hbm: bool,
-                      interpret: bool):
+                      *scratch, t_min: float, sub: int, tri_in_hbm: bool,
+                      interpret: bool, stack_walk: bool):
+    if stack_walk:
+        stk, dma = scratch[0], scratch[1:]
+    else:
+        stk, dma = None, scratch
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
@@ -364,12 +436,12 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
     blk_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
-    def body(cur):
+    def visit(cur, sp):
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         # Blocked rays get upper < t_min so every slab test fails for them;
-        # once all rays block, bit 0 clears and the walk escapes to the end.
+        # once all rays block, bit 0 clears and the walk drains.
         upper = jnp.where(blk_o[0, 0] > 0, t_min - 1.0, tmax)
         bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
                            interpret)
@@ -403,9 +475,12 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
                         )
                         blocked = blocked | ok
                     blk_o[0, 0] = blocked.astype(jnp.int32)
-        return _next_cursor(cur, bits, esc, has_i)
+            if stack_walk:
+                push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
+                sp = _stack_push(stk, sp, m, push)
+        return bits, esc, has_i, sp
 
-    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+    _run_walk(visit, stack_walk, stk)
 
 
 def occluded_pallas8(
@@ -414,7 +489,8 @@ def occluded_pallas8(
     wide: WideBVH,
     t_max,
     t_min: float = DEFAULT_T_MIN,
-    sub: int = DEFAULT_SUB8,
+    sub: int | None = None,
+    walk: str = DEFAULT_WALK,
 ) -> Array:
     plan = plan8(wide)
     if plan is None:
@@ -423,6 +499,7 @@ def occluded_pallas8(
             f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    sub = _auto_sub(wide) if sub is None else sub
     shape = rays.shape
     tmax_flat = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
@@ -432,12 +509,13 @@ def occluded_pallas8(
     interp = _interpret()
     blk = pl.pallas_call(
         functools.partial(_occluded8_kernel, t_min=t_min, sub=sub,
-                          tri_in_hbm=tri_in_hbm, interpret=interp),
+                          tri_in_hbm=tri_in_hbm, interpret=interp,
+                          stack_walk=walk == "stack"),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
         out_specs=_ray_spec(sub, 1),
         out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
-        scratch_shapes=_dma_scratch(tri_in_hbm),
+        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
@@ -448,8 +526,12 @@ def occluded_pallas8(
 # K nearest extended hits (soft/differentiable path)
 # ---------------------------------------------------------------------------
 def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
-                   *dma, t_min: float, k: int, band: float, sub: int,
-                   tri_in_hbm: bool, interpret: bool):
+                   *scratch, t_min: float, k: int, band: float, sub: int,
+                   tri_in_hbm: bool, interpret: bool, stack_walk: bool):
+    if stack_walk:
+        stk, dma = scratch[0], scratch[1:]
+    else:
+        stk, dma = None, scratch
     big_id = jnp.int32(2**31 - 1)
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
@@ -478,7 +560,7 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
             )
         return ts, ids
 
-    def body(cur):
+    def visit(cur, sp):
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
@@ -519,9 +601,12 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
                     for i in range(k):
                         ts_s[i] = ts[i]
                         ids_o[0, 0, i] = ids[i]
-        return _next_cursor(cur, bits, esc, has_i)
+            if stack_walk:
+                push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
+                sp = _stack_push(stk, sp, m, push)
+        return bits, esc, has_i, sp
 
-    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+    _run_walk(visit, stack_walk, stk)
     for i in range(k):
         # unfilled slots carry the big-id sentinel -> emit -1 like the oracle
         ids_o[0, 0, i] = jnp.where(ids_o[0, 0, i] == big_id, -1,
@@ -536,7 +621,8 @@ def k_nearest_ids_pallas8(
     band: float,
     t_min: float = DEFAULT_T_MIN,
     t_max=T_MAX,
-    sub: int = DEFAULT_SUB8,
+    sub: int | None = None,
+    walk: str = DEFAULT_WALK,
 ) -> Array:
     """Nearest-k extended-hit tri ids per ray, (N, k) int32 (-1 = none)."""
     plan = plan8(wide)
@@ -546,6 +632,7 @@ def k_nearest_ids_pallas8(
             f"the VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    sub = _auto_sub(wide) if sub is None else sub
     shape = rays.shape
     tmax_flat = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
@@ -555,7 +642,8 @@ def k_nearest_ids_pallas8(
     interp = _interpret()
     ids = pl.pallas_call(
         functools.partial(_knear8_kernel, t_min=t_min, k=k, band=band,
-                          sub=sub, tri_in_hbm=tri_in_hbm, interpret=interp),
+                          sub=sub, tri_in_hbm=tri_in_hbm, interpret=interp,
+                          stack_walk=walk == "stack"),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
         out_specs=pl.BlockSpec(
@@ -564,7 +652,7 @@ def k_nearest_ids_pallas8(
         ),
         out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((k, sub, LANE), jnp.float32)]
-        + _dma_scratch(tri_in_hbm),
+        + _walk_scratch(walk == "stack", tri_in_hbm),
         compiler_params=_compiler_params(),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
