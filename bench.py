@@ -287,7 +287,12 @@ def main() -> None:
                          "both; the driver runs plain `python bench.py`)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--bench-rays", type=int, default=262144)
+    ap.add_argument("--bench-rays", type=int, default=4_194_304,
+                    help="cap on rays timed per call; the default covers "
+                         "whole frames (a partial morton chunk is a compact "
+                         "screen region whose difficulty is not "
+                         "representative — measured 13.9M vs 42.1M rays/s "
+                         "chunk vs full frame at 1M tris)")
     ap.add_argument("--ray-order", default="morton", choices=["morton", "scan"],
                     help="bench-chunk ray order: Z-order screen tiles "
                          "(coherent packets) or raw scanline")
@@ -446,15 +451,16 @@ def _run_pallas_parity() -> None:
     ref = eval_tracer(make_tracer(scene, method="packet"))
     tr_p = make_tracer(scene, method="pallas")
     tr_w = make_tracer(scene, method="pallas8")
-    # budget overrides that force each engine's HBM-triangle tier
+    # budget override that forces the BVH8 engine's HBM-triangle tier; the
+    # binary engine is VMEM-only by design (its HBM tier failed Mosaic
+    # compile on hardware and was retired, kernels/traverse._plan)
     hbm_budget = {
-        "pallas": kt.node_bytes(tr_p.packed) + 64,
         "pallas8": k8.wide_bytes(tr_w.wide) + k8._SCRATCH_HEADROOM + 64,
     }
     tol = max(4, n // 1000)
     failures = []
     for engine, tr, mod in (("pallas", tr_p, kt), ("pallas8", tr_w, k8)):
-        for tier in ("vmem", "hbm"):
+        for tier in ("vmem",) if engine == "pallas" else ("vmem", "hbm"):
             saved = mod.VMEM_BUDGET_BYTES
             if tier == "hbm":
                 mod.VMEM_BUDGET_BYTES = hbm_budget[engine]

@@ -55,7 +55,11 @@ def _hist_rank_kernel(keys_ref, hist_ref, rank_ref, *, shift: int):
     flat = digit.reshape(BLK, 1)
     vals = jax.lax.broadcasted_iota(jnp.int32, (1, RADIX), 1)
     onehot = (flat == vals).astype(jnp.int32)  # (BLK, RADIX)
-    hist_ref[...] = jnp.sum(onehot, axis=0, keepdims=True)  # (1, RADIX)
+    # counts live in row 0 of an (8, RADIX) block: Mosaic requires the
+    # second-to-last block dim to be a multiple of 8 (a (1, RADIX) block
+    # fails to compile on hardware — round-3 on-chip sort bench)
+    counts = jnp.sum(onehot, axis=0, keepdims=True)  # (1, RADIX)
+    hist_ref[...] = jnp.pad(counts, ((0, 7), (0, 0)))
     # stable rank of key i within its digit bucket = #earlier keys with the
     # same digit = exclusive cumsum of the one-hot along keys
     ranks = jnp.cumsum(onehot, axis=0) - onehot  # (BLK, RADIX)
@@ -84,15 +88,16 @@ def _pass_pallas(keys: Array, vals: Array, shift: int) -> tuple[Array, Array]:
             pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=[
-            pl.BlockSpec((1, RADIX), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RADIX), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, RADIX), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 8, RADIX), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * rows, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(keys2d)
+    hist = hist[::8]  # counts are row 0 of each (8, RADIX) block
 
     # global digit-major exclusive scan: offset of (digit g, block b) =
     # all counts of digits < g anywhere + counts of digit g in blocks < b

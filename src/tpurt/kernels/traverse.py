@@ -26,14 +26,13 @@ leaf_row with -1 = internal) per row.  A 1M-tri BVH (~444K nodes) is
 10.7 MB in bf16 — inside the budget, where the round-2 (M, 8) layout
 overflowed even quantized and silently fell back to the XLA packet engine.
 
-Scale tiers (VERDICT r1 missing #3 — the VMEM ceiling):
-- small scenes: nodes AND triangle rows VMEM-resident (fastest leaf fetch);
-- mid-size scenes: triangle rows stay in HBM and each leaf visit DMAs its
-  (1, 128) row + ids into VMEM scratch (`pltpu.make_async_copy`);
-- beyond that the XLA packet engine takes over (logged, never silent).
-There is NO bf16 node tier: its dynamic row loads are Mosaic-illegal on
-hardware (BENCH_r02) and the 1M-tri flagship runs on the BVH8 engine
-(kernels/traverse8.py), which fits f32 in VMEM at that scale.
+Scale: this engine runs VMEM-RESIDENT scenes only (nodes + triangle rows);
+beyond that `_plan` returns None and callers fall back (logged, never
+silent) — large scenes are the BVH8 engine's job (kernels/traverse8.py).
+Two tiers were retired after failing Mosaic compilation on real hardware,
+which interpret-mode oracles cannot detect: the bf16 node tier (BENCH_r02)
+and the HBM-triangle DMA tier (round-3 on-chip parity sweep).  The DMA
+machinery below remains only as interpret-tested reference code.
 
 Semantics: identical accept tests and (t, tri-id) tie-break as accel/packet
 (the oracle, bitwise in interpret mode; on real TPUs Mosaic's FMA contraction
@@ -298,18 +297,18 @@ def _ray_spec(sub: int, walks: int):
 
 
 def _plan(packed: PackedBVH):
-    """(nf2, ni2, packed, tri_in_hbm) or None when the f32 nodes exceed
-    VMEM.  There is deliberately NO bf16 node tier: its 2D (M, 128) bf16
-    dynamic row loads are Mosaic-illegal on hardware (BENCH_r02: "cannot
-    statically prove that index in dimension 0 is a multiple of 8"), and
-    the BVH8 engine (kernels/traverse8.py) hosts 1M-tri scenes in f32
-    VMEM anyway — this engine stays as the mid-size/oracle path."""
+    """(nf2, ni2, packed, tri_in_hbm) or None when the packed BVH exceeds
+    VMEM.  Two tiers were deliberately RETIRED after failing Mosaic
+    compilation on real hardware (the interpret-mode oracles cannot see
+    Mosaic legality): the bf16 node tier (BENCH_r02: dynamic bf16 row
+    loads are illegal) and the HBM-triangle DMA tier (round-3 on-chip
+    parity sweep: tpu_compile_helper crash).  Scenes beyond VMEM run on
+    the BVH8 engine (kernels/traverse8.py), whose f32 layout holds 1M-tri
+    scenes resident and whose HBM tier compiles and matches on-chip; this
+    engine stays as the VMEM-resident mid-size/oracle path."""
     if fits_vmem(packed):
         nf2, ni2 = _lane_pack_nodes(packed)
         return nf2, ni2, packed, False
-    if nodes_fit_vmem(packed):
-        nf2, ni2 = _lane_pack_nodes(packed)
-        return nf2, ni2, packed, True
     return None
 
 

@@ -9,18 +9,17 @@ restructures traversal around what the hardware does cheaply:
   AABBs + metas + the node's own AABB + escape link, all at STATIC lane
   offsets (accel/bvh8.py layout) — static lane extracts compile to cheap
   scalar moves, no cross-lane one-hot reductions at all.
-- 9 slab tests per visit (own box + 8 children) are pure VPU throughput
-  over the (sub, 128) ray tile; their masks accumulate into ONE i32
-  bit-mask tile whose reduction is log2 static `pltpu.roll`s — one
+- 8 slab tests per visit (FMA form, o*inv precomputed per packet) are pure
+  VPU throughput over the (sub, 128) ray tile; their masks accumulate into
+  ONE i32 bit-mask tile whose reduction is log2 static `pltpu.roll`s — one
   reduction per visit instead of one `any()` per binary node.
-- Traversal is STACKLESS: wide nodes are DFS-ordered with escape links
-  (own-box hit -> w+1 when internal children exist, miss -> escape); the
-  only loop state is the scalar cursor.  This is deliberate: dynamic-index
-  SMEM stores inside a `lax.while_loop` body hang/fault Mosaic kernels on
-  real v5e hardware (measured — in `fori_loop` they work, in `while_loop`
-  they do not), so a traversal stack is not implementable; the
-  escape-threaded walk is the structure the round-2 binary kernel proved
-  on-chip.
+- Two traversal drivers (measured on v5e, docs/PERF.md round 3):
+  * 'stack' (default): a VMEM ROW stack — push = unconditional select-store
+    of a dynamic row, the one store form that works inside while bodies on
+    v5e (dynamic SMEM stores hang there; they work in fori_loop).  Skips
+    failing subtrees entirely: 8.3x faster than escape at 1M tris.
+  * 'escape': stackless DFS escape threading with a scalar cursor and a
+    9th own-box slab per visit — the r2-proven shape, kept as fallback.
 - Fat-leaf fetches are ONE contiguous (<=3, 128) row read (VMEM tier) or
   one async DMA per passing leaf child, started for ALL passing children
   before any is consumed so up to 8 copies overlap (HBM tier).
@@ -132,11 +131,15 @@ def _or_reduce_bits(hitm: Array, interpret: bool) -> Array:
     return v[0, 0]
 
 
-def _slab8(ox, oy, oz, ix, iy, iz, lox, loy, loz, hix, hiy, hiz, t_min, t_upper):
-    """Slab test of the whole (sub, LANE) ray tile vs one scalar AABB."""
-    tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
-    ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
-    tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+def _slab8(oix, oiy, oiz, ix, iy, iz, lox, loy, loz, hix, hiy, hiz, t_min, t_upper):
+    """Slab test of the whole (sub, LANE) ray tile vs one scalar AABB.
+
+    Takes PRE-MULTIPLIED o*inv tiles (oix = ox*ix, computed once per
+    packet): (lo - o)*inv == lo*inv - o*inv, one FMA per bound instead of
+    subtract+multiply — 6 fewer VPU ops per slab, the hot loop's unit."""
+    tx0, tx1 = lox * ix - oix, hix * ix - oix
+    ty0, ty1 = loy * iy - oiy, hiy * iy - oiy
+    tz0, tz1 = loz * iz - oiz, hiz * iz - oiz
     t_near = jnp.maximum(
         jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
         jnp.maximum(jnp.minimum(tz0, tz1), t_min),
@@ -164,24 +167,34 @@ def _node_row(wrow, w):
     return rd, rdi
 
 
-def _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper, interpret):
-    """Bit 0: any ray passes the node's OWN box; bit c+1: any ray passes
-    (own AND child c's box) — the leaf gates.  One reduction total."""
-    own = _slab8(
-        oxv, oyv, ozv, ix, iy, iz,
-        rd(56), rd(57), rd(58), rd(59), rd(60), rd(61),
-        t_min, upper,
-    )
-    hitm = jnp.where(own, jnp.int32(1), jnp.int32(0))
+def _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper, interpret,
+                stack_walk):
+    """Bit c+1: any ray passes child c's box — the leaf/push gates.  Bit 0
+    (escape walk only): any ray passes the node's OWN box.  One reduction
+    total.  The stack walk skips the own-box slab entirely: children boxes
+    are contained in it, so own & boxed_c == boxed_c, and pushed-then-stale
+    subtrees are pruned by their own children's tests against the shrunken
+    t_best — the own test is pure waste there (1 of 9 slabs)."""
+    if stack_walk:
+        own = None
+        hitm = jnp.zeros(upper.shape, jnp.int32)
+    else:
+        own = _slab8(
+            oix, oiy, oiz, ix, iy, iz,
+            rd(56), rd(57), rd(58), rd(59), rd(60), rd(61),
+            t_min, upper,
+        )
+        hitm = jnp.where(own, jnp.int32(1), jnp.int32(0))
     for c in range(ENTRIES):
         boxed = _slab8(
-            oxv, oyv, ozv, ix, iy, iz,
+            oix, oiy, oiz, ix, iy, iz,
             rd(6 * c), rd(6 * c + 1), rd(6 * c + 2),
             rd(6 * c + 3), rd(6 * c + 4), rd(6 * c + 5),
             t_min, upper,
         )
-        hitm = hitm | jnp.where(boxed & own, jnp.int32(1 << (c + 1)),
-                                jnp.int32(0))
+        if not stack_walk:
+            boxed = boxed & own
+        hitm = hitm | jnp.where(boxed, jnp.int32(1 << (c + 1)), jnp.int32(0))
     return _or_reduce_bits(hitm, interpret)
 
 
@@ -193,14 +206,18 @@ def _leaf_dma(rows, row_s, sem, c, row0):
     )
 
 
-def _start_leaf_dmas(metas, bits, rows, row_s, sem):
-    """Kick off the fat-leaf row copies for every passing leaf child before
-    any is consumed — up to 8 DMAs in flight hide HBM latency."""
+def _start_leaf_dmas(metas, rows, row_s, sem):
+    """Kick off the fat-leaf row copies for EVERY leaf child, before the
+    slab phase even runs: the copies then overlap the visit's ~1 us of
+    vector work instead of serializing after it (measured: the HBM tier
+    was latency-bound, insensitive to slab-cost cuts).  Unconditional on
+    the pass mask — wasted child fetches cost bandwidth (<=12 KB/visit,
+    far under HBM), and the matching UNCONDITIONAL waits in the child loop
+    keep every semaphore balanced regardless of which children pass."""
     for c in range(ENTRIES):
         m = metas[c]
-        hit_c = ((bits >> (c + 1)) & 1) > 0
 
-        @pl.when(hit_c & (m < 0))
+        @pl.when(m < 0)
         def _(c=c, m=m):
             _leaf_dma(rows, row_s, sem, c, jnp.maximum((~m) >> 3, 0)).start()
 
@@ -307,6 +324,7 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    oix, oiy, oiz = oxv * ix, oyv * iy, ozv * iz  # slab FMA precompute
     t_o[0, 0] = jnp.full((sub, LANE), T_MAX, jnp.float32)
     u_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
     v_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
@@ -317,10 +335,10 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
-        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, t_o[0, 0],
-                           interpret)
         if tri_in_hbm:
-            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem)
+        bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, t_o[0, 0],
+                           interpret, stack_walk)
         for c in range(ENTRIES):
             m = metas[c]
             hit_c = ((bits >> (c + 1)) & 1) > 0
@@ -330,11 +348,14 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
             # (measured on v5e), and for internal children ~m >> 3 is
             # negative.  Clamped dead loads read pad rows — harmless.
             row0 = jnp.maximum((~m) >> 3, 0)
+            if tri_in_hbm:
+                # balance EVERY started copy (starts are mask-independent)
+                @pl.when(m < 0)
+                def _(c=c, row0=row0):
+                    _leaf_dma(rows, row_s, sem, c, row0).wait()
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm and r == 0:
-                        _leaf_dma(rows, row_s, sem, c, row0).wait()
                     trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     t_b, u_b = t_o[0, 0], u_o[0, 0]
@@ -432,6 +453,7 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    oix, oiy, oiz = oxv * ix, oyv * iy, ozv * iz  # slab FMA precompute
     tmax = tm[0, 0]
     blk_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
     row_s, sem = dma if tri_in_hbm else (None, None)
@@ -443,20 +465,23 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
         # Blocked rays get upper < t_min so every slab test fails for them;
         # once all rays block, bit 0 clears and the walk drains.
         upper = jnp.where(blk_o[0, 0] > 0, t_min - 1.0, tmax)
-        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
-                           interpret)
         if tri_in_hbm:
-            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem)
+        bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper,
+                           interpret, stack_walk)
         for c in range(ENTRIES):
             m = metas[c]
             hit_c = ((bits >> (c + 1)) & 1) > 0
             n_rows = ((~m) & 7) + 1
             row0 = jnp.maximum((~m) >> 3, 0)  # clamp: see closest kernel
+            if tri_in_hbm:
+                # balance EVERY started copy (starts are mask-independent)
+                @pl.when(m < 0)
+                def _(c=c, row0=row0):
+                    _leaf_dma(rows, row_s, sem, c, row0).wait()
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm and r == 0:
-                        _leaf_dma(rows, row_s, sem, c, row0).wait()
                     trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     blocked = blk_o[0, 0] > 0
@@ -536,6 +561,7 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
     oxv, oyv, ozv = ox[0, 0], oy[0, 0], oz[0, 0]
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    oix, oiy, oiz = oxv * ix, oyv * iy, ozv * iz  # slab FMA precompute
     tmax = tm[0, 0]
     for i in range(k):
         ts_s[i] = jnp.full((sub, LANE), T_MAX, jnp.float32)
@@ -565,20 +591,23 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         upper = jnp.minimum(ts_s[k - 1], tmax)
-        bits = _visit_mask(rd, oxv, oyv, ozv, ix, iy, iz, t_min, upper,
-                           interpret)
         if tri_in_hbm:
-            _start_leaf_dmas(metas, bits, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem)
+        bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper,
+                           interpret, stack_walk)
         for c in range(ENTRIES):
             m = metas[c]
             hit_c = ((bits >> (c + 1)) & 1) > 0
             n_rows = ((~m) & 7) + 1
             row0 = jnp.maximum((~m) >> 3, 0)  # clamp: see closest kernel
+            if tri_in_hbm:
+                # balance EVERY started copy (starts are mask-independent)
+                @pl.when(m < 0)
+                def _(c=c, row0=row0):
+                    _leaf_dma(rows, row_s, sem, c, row0).wait()
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    if tri_in_hbm and r == 0:
-                        _leaf_dma(rows, row_s, sem, c, row0).wait()
                     trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     ts = [ts_s[i] for i in range(k)]

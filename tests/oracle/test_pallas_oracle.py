@@ -94,26 +94,21 @@ def test_k_nearest_matches_packet(case, k, band):
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_hbm_tier_matches_packet(case, monkeypatch):
-    """Force the HBM-tiered path (tri rows DMA'd per leaf visit) by shrinking
-    the VMEM budget below the tri-row footprint: results must stay identical
-    to the resident path/packet oracle (VERDICT r1 missing #3)."""
+def test_over_budget_falls_back(case, monkeypatch):
+    """The binary engine is VMEM-resident-only: its HBM-triangle DMA tier
+    was RETIRED after failing Mosaic compilation on real hardware (round-3
+    on-chip parity sweep; interpret oracles cannot see Mosaic legality).
+    Over budget, _plan must return None and the wrapper must fall back to
+    the packet engine with identical results."""
     import tpurt.kernels.traverse as kt
 
     tris, rays, packed = case
     budget = kt.node_bytes(packed) + 64  # nodes fit, tris don't
     monkeypatch.setattr(kt, "VMEM_BUDGET_BYTES", budget)
-    assert not kt.fits_vmem(packed) and kt.nodes_fit_vmem(packed)
-    got = kt.traverse_pallas(rays, tris, packed)
+    assert kt._plan(packed) is None
+    got = kt.traverse_pallas(rays, tris, packed)  # logged packet fallback
     ref = traverse_packet(rays, tris, packed)
     assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))
-    tmax = jnp.full(rays.shape, 2.5, jnp.float32)
-    occ = kt.occluded_pallas(rays, tris, packed, tmax)
-    occ_ref = occluded_packet(rays, tris, packed, tmax)
-    assert np.array_equal(np.asarray(occ), np.asarray(occ_ref))
-    ids = kt.k_nearest_ids_pallas(rays, tris, packed, k=4, band=0.1)
-    ids_ref = k_nearest_ids_packet(rays, tris, packed, k=4, band=0.1)
-    assert np.array_equal(np.asarray(ids), np.asarray(ids_ref))
 
 
 def test_no_bf16_tier(case, monkeypatch):
