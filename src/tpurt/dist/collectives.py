@@ -11,7 +11,15 @@ is split into C independent sub-batches, each contributing
 `psum(grad(chunk))`; because chunk i's psum has no data dependence on chunk
 i+1's backward, XLA's async collective scheduler (latency-hiding scheduler on
 TPU) can launch the reduction of chunk i while chunk i+1 is still traversing.
-Overlap is verified in profiler traces, not assumed (SURVEY.md §7).
+
+Evidence status (round 3, honest): the compiled fit step carries one
+all-reduce PER CHUNK interleaved with per-chunk backward computations —
+the structural precondition for overlap, pinned by
+tests/dist/test_overlap_structure.py against the 8-device HLO.  The async
+start/done split itself is a TPU-backend scheduling artifact that cannot
+be demonstrated in this environment: the CPU mesh lowers collectives
+synchronously and the single real chip has no cross-chip collectives to
+schedule (docs/PERF.md round 3).
 """
 
 from __future__ import annotations
