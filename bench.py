@@ -379,10 +379,16 @@ def main() -> None:
 
         if len(modes) > 1:  # default: the second mandated metric, same row
             res2 = used2 = None
+            # fwd_bwd compiles the k-layer soft render + its VJP: at
+            # full-frame ray counts the compile helper crashes on padding
+            # buffers (measured: 8x-expanded 892M temp at 2.09M rays), so
+            # the grad metric runs on a 256K-ray morton chunk — an honest
+            # UNDER-estimate (the chunk is the frame's hardest region).
+            bwd_rays = min(args.bench_rays, 262144)
             for m in [used] + [x for x in chain if x != used]:
                 try:
                     res2 = run_one(scene, cam, m, "fwd_bwd",
-                                   args.bench_rays, args.iters, args.warmup,
+                                   bwd_rays, args.iters, args.warmup,
                                    ray_order=args.ray_order)
                     used2 = m
                     break

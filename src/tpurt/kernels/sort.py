@@ -11,9 +11,16 @@ vector work and hands XLA the permutation apply).
 
 `sort_pairs(backend="pallas")` (accel/sort_ref.py) dispatches here — the
 branch round 1 left as a latent ImportError (VERDICT r1 missing #2).  The
-backend choice between this and `lax.sort_key_val` is made by measurement:
-bench.py --sort-bench emits both timings (SURVEY.md §7 "#6: decide by
-benchmark, keep both behind one interface").
+backend choice between this and `lax.sort_key_val` is made by measurement
+(SURVEY.md §7 "#6: decide by benchmark, keep both behind one interface").
+
+DECISION (round 3, measured on v5e): **XLA** — `lax.sort_key_val` does
+646/348 Mkeys/s at 1M/5M keys on-chip, putting the Morton sort ~2 ms into
+a 1M-tri build (nowhere near critical); this kernel's rank pass cannot
+currently lower on hardware at all (`cumsum` is unimplemented in the
+Mosaic TC pipeline — jax 0.9.0; a roll-based prefix emulation would be
+~20x slower than XLA and was not worth building).  The kernel remains the
+interpret-mode reference implementation behind the same interface.
 
 Oracle tests: tests/oracle/test_sort_pallas.py (vs accel/sort_ref.py and
 jnp.argsort, including adversarial all-duplicate keys).
