@@ -18,6 +18,15 @@ the kernel's output equals the reference refit exactly; the oracle test
 
 Scope: node arrays must fit VMEM (same tier rule as kernels/traverse.py);
 the XLA path remains the default and the scale fallback.
+
+DECISION (round 3, measured on v5e): **XLA** — this kernel fails Mosaic
+compilation on hardware ("Cannot store scalars to VMEM"; its per-node
+scalar stores are interpret-only, the same class as the retired binary
+HBM tier), while the XLA refit paths run 20.4 ms (refit_packed) / 16.4 ms
+(BVH8 refit_wide, the production fit path) per step at bunny 70K — far
+off the fit step's critical path (the soft render is seconds).  The
+kernel remains the interpret-mode reference for the one-pass reverse-DFS
+formulation; api/inverse.py keeps the XLA refit.
 No reference implementation exists to mirror (SURVEY.md §0).
 """
 
