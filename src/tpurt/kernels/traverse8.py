@@ -661,7 +661,11 @@ def k_nearest_ids_pallas8(
             f"the VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
-    sub = _auto_sub(wide) if sub is None else sub
+    # k-nearest keeps (k, sub, LANE) scratch + out blocks live: sub=64 blows
+    # VMEM pipelining and runs 3-5x SLOWER than sub=32 at every k measured
+    # (k=4: 20.9 vs 65.7 ms; k=16: 49.6 vs 252.9 ms at 1M tris, 256K rays)
+    # — so the auto choice here is always 32, not _auto_sub.
+    sub = 32 if sub is None else sub
     shape = rays.shape
     tmax_flat = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
