@@ -27,7 +27,7 @@ def test_golden_cornell_brute():
     _check(img, "cornell_brute_64.npy", frac=0.0)
 
 
-@pytest.mark.parametrize("method", ["bvh", "packet", "pallas"])
+@pytest.mark.parametrize("method", ["bvh", "packet", "pallas", "pallas8"])
 def test_golden_cornell_engines(method):
     """Every engine must reproduce the brute golden up to boundary pixels."""
     scene, cam = make_cornell_box()
