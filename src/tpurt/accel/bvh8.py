@@ -75,26 +75,42 @@ TRIS_PER_ROW = 8     # 8 tris x 9 floats = 72 lanes (+8 id lanes)
 EMPTY_BOX = 3e38     # point box at +inf: fails every slab test
 
 
+# Codec payload offset / range.  Round 3's 24-bit sign-extend codec
+# silently wrapped fat-leaf metas past ~4.2M triangles (ADVICE r3) — this
+# 30-bit offset codec covers the 5M-tri config (BASELINE.json:11) with room
+# to spare, and every encoding is a negative NORMAL f32 (no NaN-space
+# reliance at all).
+LANE_OFF = 1 << 25
+LANE_MIN = -LANE_OFF + 1            # ... kept clear of the exact endpoint
+LANE_MAX = 0x3F7FFFFF - LANE_OFF    # 1_031_798_783: top of the normal range
+
+
 def encode_lane_i32(v: Array) -> Array:
     """int32 -> f32 whose BIT PATTERN survives every TPU f32 data path.
 
     Raw small positive ints bitcast to f32 are DENORMALS, and the TPU
     flushes denormals somewhere between packing and the kernel's row load
-    (measured on v5e: tri-id lanes read back as zeros while the NaN-space
-    negative metas survive bit-exactly).  Encoding v as
-    0xFF000000 | ((v + 1) & 0xFFFFFF) makes every value a negative NORMAL
-    f32 for v >= -1 (exp 0xFE) and a quiet NaN for -2^22 < v < -1 —
-    both preserved classes.  Valid range: -2^22 < v < 2^23 - 1 (wide ids,
-    escapes, fat-leaf metas at <= ~4M tris/chip, tri ids at <= ~8M).
-    Decode (kernel side): sign-extend the low 24 bits, minus 1."""
-    enc = jnp.int32(0xFF000000 - 2**32) | ((v + 1) & jnp.int32(0x00FFFFFF))
+    (measured on v5e: tri-id lanes read back as zeros while negative-normal
+    patterns survive bit-exactly).  Encoding v as
+    0xC0000000 | ((v + 2^25) & 0x3FFFFFFF) makes EVERY valid value a
+    negative NORMAL f32 (exponent 0x80..0xFE — never a denormal, never
+    NaN/inf), the one bit-pattern class measured to survive on v5e.
+    Valid range: LANE_MIN <= v <= LANE_MAX (-2^25 < v < ~1.03e9), enforced
+    host-side in build_wide — wide ids, escapes, tri ids and fat-leaf metas
+    all fit at 5M+ triangles per chip.
+    Decode (kernel side): low 30 bits minus 2^25 (AND + SUB)."""
+    enc = jnp.int32(0xC0000000 - 2**32) | (
+        (v + jnp.int32(LANE_OFF)) & jnp.int32(0x3FFFFFFF)
+    )
     return jax.lax.bitcast_convert_type(enc.astype(jnp.int32), jnp.float32)
 
 
 def decode_lane_i32(e: Array) -> Array:
-    """Inverse of encode_lane_i32 given the BITCAST-to-i32 lane value."""
-    d24 = e & jnp.int32(0x00FFFFFF)
-    return ((d24 << 8) >> 8) - 1  # arithmetic shift sign-extends bit 23
+    """Inverse of encode_lane_i32 given the BITCAST-to-i32 lane value.
+
+    All-zero pad rows decode to -LANE_OFF (< 0, i.e. an invalid id) so the
+    `tid >= 0` accept tests reject them even before the det == 0 guard."""
+    return (e & jnp.int32(0x3FFFFFFF)) - jnp.int32(LANE_OFF)
 
 
 class WideBVH(struct.PyTreeNode):
@@ -123,6 +139,9 @@ class WideBVH(struct.PyTreeNode):
     has_int: Array
     row_tids: Array
     band: float = struct.field(pytree_node=False, default=0.0)
+    # worst-case 'stack'-walk occupancy of this (frozen) topology — computed
+    # host-side at build, asserted <= STACKV by kernels/traverse8 (ADVICE r3)
+    max_stack: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_wides(self) -> int:
@@ -140,18 +159,25 @@ def _leaf_meta(first: int, last: int) -> int:
     return ~((r0 << 3) | (n_rows - 1))
 
 
-def collapse8(
+def _collapse8_serial(
     left: np.ndarray,
     right: np.ndarray,
     first: np.ndarray,
     last: np.ndarray,
     fat_tris: int = FAT_TRIS,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy binary->8-wide collapse on the raw radix tree (host numpy).
+) -> tuple[np.ndarray, ...]:
+    """Reference greedy collapse (per-anchor heap loop).
 
-    Returns (entry_node (W, 8) i32, entry_meta (W, 8) i32).  Wide node 0 is
-    the root.  Deterministic: heap ties break on node id, entries are ordered
-    by Morton range start.
+    Kept as the oracle for the vectorized `collapse8` (tests/unit/test_bvh8)
+    — the production path is the wave-synchronous numpy version below, which
+    produces identical final arrays ~50x faster (the serial loop was 10.3 s
+    at 1M tris, ~1 min extrapolated at 5M — the config-5 blocker, VERDICT r3
+    missing #3).
+
+    Returns (entry_node (W, 8) i32, entry_meta (W, 8) i32, own (W,) i32,
+    escape (W,) i32, has_int (W,) i32).  Wide node 0 is the root.
+    Deterministic: heap ties break on node id, entries are ordered by Morton
+    range start.
     """
     n = (first.shape[0] + 1) // 2
     if n == 1 or int(last[0] - first[0] + 1) <= fat_tris:
@@ -226,6 +252,170 @@ def collapse8(
                 em[ni, e] = new_of[wid]
                 has_int[ni] = 1
     return en, em, own, esc, has_int
+
+
+def collapse8(
+    left: np.ndarray,
+    right: np.ndarray,
+    first: np.ndarray,
+    last: np.ndarray,
+    fat_tris: int = FAT_TRIS,
+) -> tuple[np.ndarray, ...]:
+    """Greedy binary->8-wide collapse, wave-synchronous numpy (host).
+
+    Same greedy rule and identical output arrays as `_collapse8_serial`
+    (tested bitwise in tests/unit/test_bvh8), but every per-anchor decision
+    is a vectorized row operation over the whole BFS wave: each of the <= 7
+    split rounds replaces each active row's largest splittable entry
+    (tie-break: smaller node id) with its two children.  Work is
+    O(7 * W * 8) numpy ops + O(depth) renumbering passes — ~0.2 s at 1M
+    tris vs 10.3 s for the Python-loop reference.
+
+    Returns (entry_node (W, 8) i32, entry_meta (W, 8) i32, own (W,) i32,
+    escape (W,) i32, has_int (W,) i32).
+    """
+    n = (first.shape[0] + 1) // 2
+    if n == 1 or int(last[0] - first[0] + 1) <= fat_tris:
+        return _collapse8_serial(left, right, first, last, fat_tris)
+
+    count = (last.astype(np.int64) - first.astype(np.int64)) + 1
+    leaf_base = n - 1
+
+    def splittable(nodes):
+        return (nodes < leaf_base) & (count[np.minimum(nodes, 2 * n - 2)]
+                                      > fat_tris) & (nodes >= 0)
+
+    # --- wave loop: split each anchor's frontier to <= 8 entries ----------
+    waves = []     # per wave: (node (A,8), split (A,8), n_ent (A,))
+    all_anc = []   # per wave: anchor node ids (A,)
+    anc = np.zeros(1, np.int64)
+    while anc.size:
+        all_anc.append(anc)
+        a = anc.size
+        node = np.full((a, ENTRIES), -1, np.int64)
+        node[:, 0] = anc
+        split = np.zeros((a, ENTRIES), bool)
+        split[:, 0] = True  # anchors are splittable by construction
+        n_ent = np.ones(a, np.int64)
+        for _ in range(ENTRIES - 1):
+            active = split.any(axis=1) & (n_ent < ENTRIES)
+            if not active.any():
+                break
+            # heap key (-count, node): max count, ties -> smaller node id
+            key = np.where(split, count[np.maximum(node, 0)] * (2 ** 32)
+                           - node, -1)
+            rows = np.nonzero(active)[0]
+            j = np.argmax(key[rows], axis=1)
+            sel = node[rows, j]
+            l_ch, r_ch = left[sel].astype(np.int64), right[sel].astype(np.int64)
+            node[rows, j] = l_ch
+            split[rows, j] = splittable(l_ch)
+            node[rows, n_ent[rows]] = r_ch
+            split[rows, n_ent[rows]] = splittable(r_ch)
+            n_ent[rows] += 1
+        waves.append((node, split, n_ent))
+        # leftover splittable entries -> next wave's anchors (row-major)
+        wi_i, e_i = np.nonzero(split)
+        anc = node[wi_i, e_i]
+
+    # --- assemble provisional per-wide arrays (BFS wave order) ------------
+    wave_sizes = [w[0].shape[0] for w in waves]
+    w_total = int(sum(wave_sizes))
+    base = np.cumsum([0] + wave_sizes)
+    node_all = np.concatenate([w[0] for w in waves])         # (W, 8)
+    split_all = np.concatenate([w[1] for w in waves])        # internal entry
+    valid_all = node_all >= 0
+    # child wide id (provisional): leftover splittables were appended
+    # row-major per wave, matching the order np.nonzero scans them
+    kidw_all = np.full((w_total, ENTRIES), -1, np.int64)
+    for wv, (node, split, _) in enumerate(waves):
+        wi_i, e_i = np.nonzero(split)
+        kidw_all[base[wv] + wi_i, e_i] = base[wv + 1] + np.arange(wi_i.size)
+
+    # sort entries of every row by Morton range start (empty slots last)
+    skey = np.where(valid_all, first[np.maximum(node_all, 0)].astype(np.int64),
+                    np.iinfo(np.int64).max)
+    order = np.argsort(skey, axis=1, kind="stable")
+    r_idx = np.arange(w_total)[:, None]
+    node_all = node_all[r_idx, order]
+    split_all = split_all[r_idx, order]
+    valid_all = valid_all[r_idx, order]
+    kidw_all = kidw_all[r_idx, order]
+
+    # --- subtree sizes (waves deepest -> shallowest) ----------------------
+    size = np.ones(w_total, np.int64)
+    for wv in range(len(waves) - 2, -1, -1):
+        rows = slice(base[wv], base[wv + 1])
+        ksz = np.where(kidw_all[rows] >= 0,
+                       size[np.maximum(kidw_all[rows], 0)], 0)
+        size[rows] += ksz.sum(axis=1)
+
+    # --- DFS preorder renumber (waves top -> bottom) ----------------------
+    new_of = np.zeros(w_total, np.int64)
+    for wv in range(len(waves) - 1):
+        rows = slice(base[wv], base[wv + 1])
+        kidw = kidw_all[rows]
+        has_kid = kidw >= 0
+        ksz = np.where(has_kid, size[np.maximum(kidw, 0)], 0)
+        excl = np.cumsum(ksz, axis=1) - ksz
+        kid_new = new_of[rows][:, None] + 1 + excl
+        wi_i, e_i = np.nonzero(has_kid)
+        new_of[kidw[wi_i, e_i]] = kid_new[wi_i, e_i]
+
+    # --- final arrays indexed by the DFS ids ------------------------------
+    en = np.full((w_total, ENTRIES), -1, np.int32)
+    em = np.zeros((w_total, ENTRIES), np.int32)
+    own = np.empty(w_total, np.int32)
+    esc = np.empty(w_total, np.int32)
+    has_int = np.empty(w_total, np.int32)
+    esc64 = new_of + size
+    esc[new_of] = np.where(esc64 < w_total, esc64, -1).astype(np.int32)
+    is_leaf = valid_all & ~split_all
+    nd = np.maximum(node_all, 0)
+    r0 = first[nd].astype(np.int64) // TRIS_PER_ROW
+    nr = last[nd].astype(np.int64) // TRIS_PER_ROW - r0 + 1
+    assert (nr[is_leaf] <= R_MAX_ROWS).all()
+    meta = np.where(
+        is_leaf, ~((r0 << 3) | (nr - 1)),
+        np.where(valid_all & split_all, new_of[np.maximum(kidw_all, 0)], 0),
+    )
+    en[new_of] = np.where(valid_all, node_all, -1).astype(np.int32)
+    em[new_of] = meta.astype(np.int32)
+    own[new_of] = np.concatenate(all_anc).astype(np.int32)
+    has_int[new_of] = split_all.any(axis=1).astype(np.int32)
+    return en, em, own, esc, has_int
+
+
+def stack_bound(entry_meta: np.ndarray) -> int:
+    """Worst-case VMEM-stack occupancy of the 'stack' walk for a collapsed
+    topology, assuming every pushed subtree stays live.  sp peaks at
+    sdep(w) + n_internal_children(w) during w's visit, where
+    sdep(child) = sdep(parent) + (number of earlier-pushed internal
+    siblings) — the LIFO pop order means the i-th pushed kid still has i
+    earlier siblings stacked below it when popped.  Computed by
+    pointer-jumping path sums over the parent links (ADVICE r3: collapse
+    never enforced any depth bound — build_wide asserts this bound
+    <= kernels.traverse8.STACKV)."""
+    em = np.asarray(entry_meta)
+    w = em.shape[0]
+    if w == 0:
+        return 0
+    is_int = em > 0  # internal child ids are >= 1 (0 == root, never a child)
+    par = np.full(w, -1, np.int64)
+    rank = np.zeros(w, np.int64)
+    wi_i, e_i = np.nonzero(is_int)
+    kids = em[wi_i, e_i].astype(np.int64)
+    par[kids] = wi_i
+    rank[kids] = (np.cumsum(is_int, axis=1) - 1)[wi_i, e_i]
+    # sdep = path-sum of ranks up to the root, via pointer jumping
+    sdep = rank
+    anc = par
+    while (anc >= 0).any():
+        live = anc >= 0
+        a = np.maximum(anc, 0)
+        sdep = sdep + np.where(live, sdep[a], 0)
+        anc = np.where(live, anc[a], -1)
+    return int((sdep + is_int.sum(axis=1)).max())
 
 
 def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
@@ -326,10 +516,21 @@ def build_wide(tris: Triangles, bvh: BVH, fat_tris: int = FAT_TRIS) -> WideBVH:
         np.asarray(left), np.asarray(right),
         np.asarray(first), np.asarray(last), fat_tris,
     )
+    # Lane-codec range guard (ADVICE r3): wrapped encodings would decode to
+    # wrong leaf rows / tri ids with no error.  Metas dominate (leaf meta
+    # ~= -(8*num_tris)); the codec's 30-bit payload covers ~260M tris.
+    n_tris = int(tris.num_tris)
+    for name, arr in (("entry_meta", em), ("escape", esc), ("tri_id", n_tris - 1)):
+        a = np.asarray(arr)
+        if a.min() < LANE_MIN or a.max() > LANE_MAX:
+            raise ValueError(
+                f"build_wide: {name} range [{a.min()}, {a.max()}] exceeds the "
+                f"f32 lane codec range [{LANE_MIN}, {LANE_MAX}]"
+            )
     return jax.jit(pack_wide)(
         tris, bvh, jnp.asarray(en), jnp.asarray(em), jnp.asarray(own),
         jnp.asarray(esc), jnp.asarray(has_int),
-    )
+    ).replace(max_stack=stack_bound(em))
 
 
 def refit_wide(wide: WideBVH, bvh: BVH, tris: Triangles) -> WideBVH:

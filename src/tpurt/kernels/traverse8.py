@@ -262,10 +262,27 @@ def _stack_push(stk, sp, m, push):
 
 
 def _stack_pop(stk, sp):
-    idx = jnp.maximum(sp - 1, 0)
+    # Clamp the read row to the scratch extent: build_wide guarantees
+    # sp <= max_stack <= STACKV (asserted in _check_stack), but an
+    # out-of-bounds dynamic VMEM row read on a corrupted sp would fault the
+    # worker rather than just mis-traverse (ADVICE r3).
+    idx = jnp.clip(sp - 1, 0, STACKV - 1)
     top = stk[idx][0]
     nxt = jnp.where(sp > 0, top, jnp.int32(-1))
     return nxt, jnp.maximum(sp - 1, 0)
+
+
+def _check_stack(wide: WideBVH, walk: str) -> None:
+    """The VMEM row stack must hold the topology's worst case: _stack_push
+    clamps to STACKV-1, so overflow would silently DROP subtrees (wrong
+    hits), not crash.  max_stack == 0 is accepted for layouts built before
+    the field existed (pre-r4 pickles/tests constructing WideBVH directly)."""
+    if walk == "stack" and wide.max_stack > STACKV:
+        raise RuntimeError(
+            f"BVH8 worst-case stack occupancy {wide.max_stack} exceeds the "
+            f"kernel stack ({STACKV} rows); rebuild with smaller fat_tris or "
+            f"use walk='escape'"
+        )
 
 
 def _run_walk(visit, stack_walk: bool, stk):
@@ -413,6 +430,7 @@ def traverse_pallas8(
             f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    _check_stack(wide, walk)
     sub = _auto_sub(wide) if sub is None else sub
     rays, wide, comps, p, n = _prep(rays, wide, sub)
     ox, oy, oz, dx, dy, dz = comps
@@ -524,6 +542,7 @@ def occluded_pallas8(
             f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    _check_stack(wide, walk)
     sub = _auto_sub(wide) if sub is None else sub
     shape = rays.shape
     tmax_flat = jax.lax.stop_gradient(
@@ -661,6 +680,7 @@ def k_nearest_ids_pallas8(
             f"the VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
+    _check_stack(wide, walk)
     # k-nearest keeps (k, sub, LANE) scratch + out blocks live: sub=64 blows
     # VMEM pipelining and runs 3-5x SLOWER than sub=32 at every k measured
     # (k=4: 20.9 vs 65.7 ms; k=16: 49.6 vs 252.9 ms at 1M tris, 256K rays)

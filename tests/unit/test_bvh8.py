@@ -127,17 +127,63 @@ def test_single_triangle_scene():
 
 def test_lane_codec_roundtrip():
     """encode_lane_i32/decode must roundtrip every value class and never
-    produce a denormal f32 pattern (TPUs flush denormals between packing
-    and the kernel's row load — measured on v5e, VERDICT-class bug)."""
-    from tpurt.accel.bvh8 import decode_lane_i32, encode_lane_i32
+    produce a denormal OR NaN/inf f32 pattern (TPUs flush denormals between
+    packing and the kernel's row load — measured on v5e, VERDICT-class bug;
+    the r4 codec keeps everything in the negative-normal class)."""
+    from tpurt.accel.bvh8 import (
+        LANE_MAX, LANE_MIN, decode_lane_i32, encode_lane_i32,
+    )
 
     v = jnp.asarray([-1, 0, 1, 2, 7, 1000, 2**20, 2**23 - 2,
-                     -2, -11, -(2**22) + 1], jnp.int32)
+                     -2, -11, -(2**22) + 1,
+                     # 5M/30M-tri-config metas the r3 24-bit codec wrapped
+                     ~(((5_000_000 // 8) << 3) | 7),
+                     ~(((30_000_000 // 8) << 3) | 7), 5_000_000, 40_000_000,
+                     LANE_MIN, LANE_MAX], jnp.int32)
     enc = encode_lane_i32(v)
     bits = np.asarray(jax.lax.bitcast_convert_type(enc, jnp.int32)).astype(np.uint32)
     exp = (bits >> 23) & 0xFF
     assert (exp != 0).all(), "denormal encodings are flushed on TPU"
+    assert (exp != 0xFF).all(), "NaN/inf encodings are not a preserved class"
     dec = decode_lane_i32(jax.lax.bitcast_convert_type(enc, jnp.int32))
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(v))
-    # all-zero pad rows must decode to tid -1 (rejected)
-    assert int(decode_lane_i32(jnp.int32(0))) == -1
+    # all-zero pad rows must decode to an INVALID (negative) tri id
+    assert int(decode_lane_i32(jnp.int32(0))) < 0
+
+
+@pytest.mark.parametrize("n", [2, 7, 16, 17, 100, 1000, 4097])
+def test_collapse_vectorized_matches_serial(n):
+    """The wave-synchronous numpy collapse must reproduce the serial greedy
+    reference bitwise (same entries, same DFS numbering, same escapes)."""
+    from tpurt.accel.bvh8 import _collapse8_serial
+    from tpurt.core.geometry import Triangles
+
+    rng = np.random.default_rng(n * 7 + 1)
+    verts = rng.normal(size=(3 * n, 3)).astype(np.float32)
+    faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    tris = Triangles(
+        verts=jnp.asarray(verts),
+        faces=jnp.asarray(faces),
+        albedo=jnp.ones((n, 3), jnp.float32),
+        emission=jnp.zeros((n, 3), jnp.float32),
+    )
+    bvh = build_lbvh(tris)
+    left, right, first, last = (
+        np.asarray(x) for x in jax.device_get(
+            (bvh.left, bvh.right, bvh.first, bvh.last))
+    )
+    got = collapse8(left, right, first, last)
+    ref = _collapse8_serial(left, right, first, last)
+    for g, r, name in zip(got, ref, ("en", "em", "own", "esc", "has_int")):
+        np.testing.assert_array_equal(g, r, err_msg=name)
+
+
+def test_stack_bound_covers_kernel_stack():
+    """build_wide must record a worst-case stack occupancy and it must fit
+    the traversal kernel's scratch for every test scene (ADVICE r3)."""
+    from tpurt.kernels.traverse8 import STACKV
+
+    scene, _ = make_bunny_scene(num_tris=3000)
+    bvh = build_lbvh(scene.tris)
+    wide = build_wide(scene.tris, bvh)
+    assert 0 < wide.max_stack <= STACKV
