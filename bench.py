@@ -219,7 +219,7 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
     from tpurt.render.pipeline import make_tracer, render_rays
 
     soft = mode == "fwd_bwd"
-    rkw = dict(soft=True, k_layers=4, sharpness=40.0, band=0.08)
+    rkw = dict(soft=True, k_layers=4, sharpness=40.0, band=0.08, k_occ=8)
 
     t0 = time.perf_counter()
     tracer = make_tracer(scene, method=method, band=rkw["band"] if soft else 0.0)
@@ -243,15 +243,52 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         fn = jax.jit(lambda tr, o, d: render_rays(tr, Rays(o=o, d=d)))
         args = (tracer, o, d)
     else:
-        def loss(verts, tr, o, d):
-            sc = tr.scene
-            sc = sc.replace(tris=sc.tris.replace(verts=verts))
-            colors = render_rays(tr.replace(scene=sc), Rays(o=o, d=d), **rkw)
-            return jnp.sum(colors * colors)
+        # The honest fit-step shape (VERDICT r3 #5): differentiate BOTH
+        # named parameters (verts + albedo, BASELINE.md:23), refit the BVH
+        # inside the timed step exactly like api/inverse does every step,
+        # and cover the ray batch with a scan over <=256K-ray chunks so the
+        # full frame is timed, not a fraction of it.
+        chunk = min(262144, n)
+        n_pad = (-n) % chunk
+        o_p = jnp.pad(o, ((0, n_pad), (0, 0)))
+        d_p = jnp.pad(d, ((0, n_pad), (0, 0)))
+        n_chunks = o_p.shape[0] // chunk
+        o_c = o_p.reshape(n_chunks, chunk, 3)
+        d_c = d_p.reshape(n_chunks, chunk, 3)
+
+        def loss(params, tr, o_c, d_c):
+            from tpurt.accel.refit import refit_aabbs
+
+            sc = tr.scene.replace(tris=tr.scene.tris.replace(
+                verts=params["verts"], albedo=params["albedo"]))
+            bvh, packed, wide = tr.bvh, tr.packed, tr.wide
+            if bvh is not None:
+                bvh = refit_aabbs(bvh, jax.lax.stop_gradient(sc.tris))
+                if packed is not None:
+                    from tpurt.accel.packet import refit_packed
+
+                    packed = refit_packed(packed, bvh,
+                                          jax.lax.stop_gradient(sc.tris))
+                if wide is not None:
+                    from tpurt.accel.bvh8 import refit_wide
+
+                    wide = refit_wide(wide, bvh,
+                                      jax.lax.stop_gradient(sc.tris))
+            tr = tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide)
+
+            def body(acc, ch):
+                oc, dc = ch
+                colors = render_rays(tr, Rays(o=oc, d=dc), **rkw)
+                return acc + jnp.sum(colors * colors), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), (o_c, d_c))
+            return total
 
         g = jax.grad(loss)
-        fn = jax.jit(lambda tr, o, d: g(tr.scene.tris.verts, tr, o, d))
-        args = (tracer, o, d)
+        fn = jax.jit(lambda tr, o_c, d_c: g(
+            {"verts": tr.scene.tris.verts, "albedo": tr.scene.tris.albedo},
+            tr, o_c, d_c))
+        args = (tracer, o_c, d_c)
 
     rays_per_s, ms, compile_s = _bench_chunk(fn, args, n, iters, warmup,
                                              profile_dir=profile_dir)
@@ -379,21 +416,24 @@ def main() -> None:
 
         if len(modes) > 1:  # default: the second mandated metric, same row
             res2 = used2 = None
-            # fwd_bwd compiles the k-layer soft render + its VJP: at
-            # full-frame ray counts the compile helper crashes on padding
-            # buffers (measured: 8x-expanded 892M temp at 2.09M rays), so
-            # the grad metric runs on a 256K-ray morton chunk — an honest
-            # UNDER-estimate (the chunk is the frame's hardest region).
-            bwd_rays = min(args.bench_rays, 262144)
+            # fwd_bwd covers the FULL frame via a scan over 256K-ray chunks
+            # (run_one mode='fwd_bwd'); if the full-frame grad step fails
+            # (compile/memory), fall back to one chunk before falling back
+            # to a slower engine.
             for m in [used] + [x for x in chain if x != used]:
-                try:
-                    res2 = run_one(scene, cam, m, "fwd_bwd",
-                                   bwd_rays, args.iters, args.warmup,
-                                   ray_order=args.ray_order)
-                    used2 = m
+                for bwd_rays in dict.fromkeys(
+                        [min(args.bench_rays, cam.num_pixels), 262144]):
+                    try:
+                        res2 = run_one(scene, cam, m, "fwd_bwd",
+                                       bwd_rays, args.iters, args.warmup,
+                                       ray_order=args.ray_order)
+                        used2 = m
+                        break
+                    except Exception as e:
+                        log(f"fwd_bwd method {m}@{bwd_rays} failed: "
+                            f"{type(e).__name__}: {e}")
+                if res2 is not None:
                     break
-                except Exception as e:
-                    log(f"fwd_bwd method {m} failed: {type(e).__name__}: {e}")
             if res2 is not None:
                 row.update(
                     value_fwd_bwd=res2["rays_per_s"],
@@ -401,6 +441,8 @@ def main() -> None:
                     method_fwd_bwd=used2,
                     engine_ran_fwd_bwd=res2["engine_ran"],
                     ms_per_call_fwd_bwd=res2["ms_per_call"],
+                    bench_rays_fwd_bwd=res2["bench_rays"],
+                    grad_params="verts+albedo",
                 )
             else:
                 row["fwd_bwd_error"] = "all methods failed"

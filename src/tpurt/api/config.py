@@ -25,6 +25,9 @@ class RenderConfig:
     k_layers: int = 4
     sharpness: float = 100.0
     band: float = 0.08
+    # candidate occluders per (ray, light) in the soft shadow model (shared
+    # across layers; see render/pipeline._render_soft)
+    k_occ: int = 8
     # area lights: Monte-Carlo samples per shading point on the scene's
     # emissive triangles (0 = point lights only); seed feeds the sampler key
     light_samples: int = 0
@@ -37,7 +40,7 @@ class RenderConfig:
     def render_kwargs(self) -> dict[str, Any]:
         return dict(soft=self.soft, k_layers=self.k_layers,
                     sharpness=self.sharpness, band=self.band,
-                    light_samples=self.light_samples)
+                    k_occ=self.k_occ, light_samples=self.light_samples)
 
 
 @dataclass(frozen=True)

@@ -239,6 +239,62 @@ def soft_occlusion_from_ids(
     return transmittance(a).reshape(rays.shape)
 
 
+def soft_occlusion_layers(
+    o: Array,
+    d: Array,
+    t_max: Array,
+    ids: Array,
+    tris: Triangles,
+    sharpness: float,
+    band: float = 0.08,
+    t_min: float = DEFAULT_T_MIN,
+) -> Array:
+    """Differentiable transmittance of EVERY hit layer's shadow segment from
+    one SHARED candidate-occluder list per (ray, light).
+
+    o: (R, K, 3) per-layer surface origins; d: (R, K, L, 3) unit directions
+    to each light; t_max: (R, K, L) segment lengths; ids: (R, L, C) candidate
+    occluder tri ids (-1 padding), traced ONCE from the nearest layer's
+    origin and reused for all K layers (round 3 walked k_occ=16 candidates
+    per layer — 4 x 253 ms of the soft forward; deeper layers' shadow
+    segments overlap the nearest layer's almost entirely and carry
+    exponentially less compositing weight, docs/PERF.md round 4).
+
+    Gradients: ids are discrete stop-grad structure; (t,u,v) recompute
+    analytically through diff/intersect_vjp and the single fused
+    gather_corners gives ONE sorted segment-sum on the way back instead of
+    K*C scatter-adds (diff/gather_grad.py).
+    """
+    from tpurt.diff.gather_grad import gather_corners
+
+    ids = jax.lax.stop_gradient(ids)
+    tid = jnp.maximum(ids, 0)
+    v0, v1, v2 = gather_corners(tris.verts, tris.faces, tid)  # (R, L, C, 3)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    nrm = jnp.cross(e1, e2)
+    o4 = o[:, :, None, None, :]          # (R, K, 1, 1, 3)
+    d4 = d[:, :, :, None, :]             # (R, K, L, 1, 3)
+    t, u, v = intersect_tuv(o4, d4, v0[:, None], v1[:, None], v2[:, None])
+    pvec = jnp.cross(d4, e2[:, None])
+    det = dot(e1[:, None], pvec)         # (R, K, L, C)
+    cos_dn = det / jnp.sqrt(
+        jnp.maximum(dot(d4, d4) * dot(nrm, nrm)[:, None], 1e-30)
+    )
+    tm = t_max[..., None]                # (R, K, L, 1)
+    ok = (
+        (ids[:, None] >= 0)
+        & (jnp.abs(det) > DET_EPS)
+        & (u >= -band)
+        & (v >= -band)
+        & (u + v <= 1.0 + band)
+        & (t > t_min)
+        & (t < 2.0 * tm)
+    )
+    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tm) * det_gate(cos_dn)
+    return transmittance(a)              # product over C -> (R, K, L)
+
+
 def soft_occlusion_brute(
     rays: Rays,
     tris: Triangles,

@@ -27,12 +27,13 @@ from tpurt.core.geometry import Hit, KHits, Rays
 from tpurt.core.scene import Scene
 from tpurt.core.math import sample_square
 from tpurt.diff.intersect_vjp import intersect_tuv
+from tpurt.diff.gather_grad import gather_corners, gather_verts
 from tpurt.diff.softvis import (
     composite,
     coverage,
     det_gate,
     k_nearest_brute,
-    soft_occlusion_brute,
+    soft_occlusion_layers,
 )
 from tpurt.render.camera import gen_primary_rays
 from tpurt.render.shade import (
@@ -133,11 +134,18 @@ class Tracer(struct.PyTreeNode):
 
     # -- shadow visibility ------------------------------------------------
     def visibility(
-        self, rays: Rays, t_max: Array, soft: bool, sharpness: float, band: float
+        self, rays: Rays, t_max: Array, soft: bool = False,
+        sharpness: float = 0.0, band: float = 0.0
     ) -> Array:
-        """Transmittance in (t_min, t_max): 1 fully visible, 0 occluded."""
+        """HARD transmittance in (t_min, t_max): 1 visible, 0 occluded.
+
+        The soft path no longer routes through here: it collects shared
+        candidate ids once via `occluder_ids` and evaluates every layer with
+        diff/softvis.soft_occlusion_layers (see _render_soft)."""
         if soft:
-            return self._soft_visibility(rays, t_max, sharpness, band)
+            raise ValueError(
+                "soft visibility moved to occluder_ids + soft_occlusion_layers"
+            )
         if self.method == "brute":
             return 1.0 - occluded_brute(
                 rays, self.scene.tris, t_max=t_max
@@ -166,55 +174,58 @@ class Tracer(struct.PyTreeNode):
             raise ValueError(self.method)
         return 1.0 - occ.astype(jnp.float32)
 
-    def _soft_visibility(
-        self, rays: Rays, t_max: Array, sharpness: float, band: float, k_occ: int = 16
+    def occluder_ids(
+        self, rays: Rays, t_max: Array, k_occ: int, band: float
     ) -> Array:
+        """Nearest-k_occ extended-occluder tri ids per flat ray, (N, k_occ)
+        int32 (-1 padding) — the discrete candidate structure the soft
+        shadow model is evaluated over (stop-gradient; every engine agrees
+        on the candidate SET up to t-ties, so the soft image is
+        engine-independent exactly like the hard one)."""
+        tmax_arr = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), rays.shape
+        ).reshape(-1)
+        flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
         if self.method == "brute":
-            return soft_occlusion_brute(
-                rays, self.scene.tris, sharpness, band=band, t_max=t_max
+            kh = k_nearest_brute(
+                flat, self.scene.tris, k=k_occ, band=band,
+                t_max=2.0 * tmax_arr.reshape(-1, 1),
             )
-        if self.method == "bvh":
-            from tpurt.accel.traverse_ref import soft_occlusion_ref
+            ids = kh.tri.reshape(-1, kh.k)
+            # pad to k_occ for tiny scenes (k_nearest_brute clamps k to T)
+            if ids.shape[1] < k_occ:
+                ids = jnp.pad(ids, ((0, 0), (0, k_occ - ids.shape[1])),
+                              constant_values=-1)
+        elif self.method == "bvh":
+            from tpurt.accel.traverse_ref import occluder_ids_ref
 
-            return soft_occlusion_ref(
-                rays, self.scene.tris, self.bvh, sharpness, band=band, t_max=t_max
+            ids = occluder_ids_ref(flat, self.scene.tris, self.bvh, k_occ,
+                                   band, DEFAULT_T_MIN, 2.0 * tmax_arr)
+        elif self.method == "packet":
+            from tpurt.accel.packet import k_nearest_ids_packet as knid
+
+            ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
+                       band=band, t_max=2.0 * tmax_arr)
+        elif self.method == "wave":
+            from tpurt.accel.wavefront import wave_k_ids
+
+            ids = wave_k_ids(flat, self.scene.tris, self.bvh, k=k_occ,
+                             band=band, t_max=2.0 * tmax_arr)
+        elif self.method == "pallas8":
+            from tpurt.kernels.traverse8 import k_nearest_ids_pallas8
+
+            ids = k_nearest_ids_pallas8(
+                flat, self.scene.tris, self.wide, k=k_occ,
+                band=band, t_max=2.0 * tmax_arr,
             )
-        if self.method in ("packet", "wave", "pallas", "pallas8"):
-            from tpurt.diff.softvis import soft_occlusion_from_ids
+        elif self.method == "pallas":
+            from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
 
-            shape = rays.shape
-            tmax_arr = jnp.broadcast_to(
-                jnp.asarray(t_max, jnp.float32), shape
-            ).reshape(-1)
-            flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
-            if self.method == "packet":
-                from tpurt.accel.packet import k_nearest_ids_packet as knid
-
-                ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
-                           band=band, t_max=2.0 * tmax_arr)
-            elif self.method == "wave":
-                from tpurt.accel.wavefront import wave_k_ids
-
-                ids = wave_k_ids(flat, self.scene.tris, self.bvh, k=k_occ,
-                                 band=band, t_max=2.0 * tmax_arr)
-            elif self.method == "pallas8":
-                from tpurt.kernels.traverse8 import k_nearest_ids_pallas8
-
-                ids = k_nearest_ids_pallas8(
-                    flat, self.scene.tris, self.wide, k=k_occ,
-                    band=band, t_max=2.0 * tmax_arr,
-                )
-            else:
-                from tpurt.kernels.traverse import k_nearest_ids_pallas as knid
-
-                ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
-                           band=band, t_max=2.0 * tmax_arr)
-            ids = jax.lax.stop_gradient(ids)
-            return soft_occlusion_from_ids(
-                flat, self.scene.tris, ids, sharpness, band,
-                t_max=tmax_arr,
-            ).reshape(shape)
-        raise ValueError(self.method)
+            ids = knid(flat, self.scene.tris, self.packed, k=k_occ,
+                       band=band, t_max=2.0 * tmax_arr)
+        else:
+            raise ValueError(self.method)
+        return jax.lax.stop_gradient(ids)
 
 
 def make_tracer(
@@ -267,10 +278,10 @@ def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
     """
     tid = jax.lax.stop_gradient(jnp.maximum(tri_id, 0))
     tris = scene.tris
-    f = tris.faces[tid]
-    v0 = tris.verts[f[..., 0]]
-    v1 = tris.verts[f[..., 1]]
-    v2 = tris.verts[f[..., 2]]
+    # fused corner gather: backward is ONE sorted segment-sum over all
+    # (ray, layer) contributions instead of per-corner scatter-adds
+    # (diff/gather_grad.py; the round-3 backward bottleneck)
+    v0, v1, v2 = gather_corners(tris.verts, tris.faces, tid)
     e1 = v1 - v0
     e2 = v2 - v0
     # (t, u, v) via the analytic custom VJP (diff/intersect_vjp.py): same
@@ -288,7 +299,9 @@ def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
     d_len = jnp.maximum(jnp.linalg.norm(rays.d, axis=-1), 1e-20)
     cos_dn = det / (d_len * n_len[..., 0])
     n = face_forward(n, rays.d)
-    return t, u, v, p, n, tris.albedo[tid], tris.emission[tid], cos_dn
+    albedo = gather_verts(tris.albedo, tid)
+    emission = gather_verts(tris.emission, tid)
+    return t, u, v, p, n, albedo, emission, cos_dn
 
 
 def _shade_layer(
@@ -296,13 +309,10 @@ def _shade_layer(
     rays: Rays,
     tri_id: Array,
     valid: Array,
-    soft: bool,
-    sharpness: float,
-    band: float,
     light_samples: int = 0,
     key: Array | None = None,
 ):
-    """Shade one hit layer; returns (color (R,3), u, v, cos_dn).
+    """Shade the closest-hit layer with HARD shadow rays; returns color (R,3).
 
     light_samples > 0 adds Monte-Carlo direct lighting from the scene's
     emissive triangles (area lights -> physically-based soft shadows); the
@@ -321,10 +331,12 @@ def _shade_layer(
     if L > 0:
         o_sh = jnp.broadcast_to(o_surf[None], (L, R, 3)).reshape(-1, 3)
         d_sh = wi.transpose(1, 0, 2).reshape(-1, 3)
-        t_sh = (dist.T * SHADOW_T_FRAC).reshape(-1)
+        # Invalid (miss) rays get t_max = 0: every slab test fails instantly
+        # and the occlusion kernel's all-blocked drain retires their packets
+        # early instead of walking garbage segments from clamped-id points.
+        t_sh = jnp.where(valid[:, None], dist * SHADOW_T_FRAC, 0.0).T.reshape(-1)
         vis = tracer.visibility(
-            Rays(o=o_sh, d=d_sh), t_max=t_sh, soft=soft, sharpness=sharpness,
-            band=band,
+            Rays(o=o_sh, d=d_sh), t_max=t_sh
         ).reshape(L, R).T
     else:  # area-light-only scenes: no point-light shadow rays to trace
         vis = jnp.zeros((R, 0), jnp.float32)
@@ -340,13 +352,13 @@ def _shade_layer(
         o_al = jnp.broadcast_to(o_surf[None], (S, R, 3)).reshape(-1, 3)
         vis_al = tracer.visibility(
             Rays(o=o_al, d=lwi.transpose(1, 0, 2).reshape(-1, 3)),
-            t_max=(ldist.T * SHADOW_T_FRAC).reshape(-1),
-            soft=soft, sharpness=sharpness, band=band,
+            t_max=jnp.where(valid[:, None], ldist * SHADOW_T_FRAC, 0.0)
+            .T.reshape(-1),
         ).reshape(S, R).T
         color = color + area_light_contrib(p, n, albedo, lp, ln_, le, pdf, vis_al)
 
     color = jnp.where(valid[..., None], color, 0.0)
-    return color, u, v, cos_dn
+    return color
 
 
 # ---------------------------------------------------------------------------
@@ -360,6 +372,7 @@ def render_rays(
     k_layers: int = 4,
     sharpness: float = 100.0,
     band: float = 0.08,
+    k_occ: int = 8,
     light_samples: int = 0,
     key: Array | None = None,
 ) -> Array:
@@ -368,41 +381,100 @@ def render_rays(
     soft=False: hard closest-hit render (fast path).
     soft=True: alpha-composited K-layer soft render — the differentiable
     forward model whose jax.grad matches finite differences (diff/softvis.py).
+    k_occ: candidate occluders per (ray, light) in the soft shadow model
+    (shared across layers; engines agree on the set, so the soft image is
+    engine-independent when segments cross <= k_occ extended occluders).
     light_samples/key: Monte-Carlo area-light sampling of emissive triangles
     (render/shade.sample_emitters) on top of the point lights.
     """
-    scene = tracer.scene
     if not soft:
+        scene = tracer.scene
         hit = tracer.closest(rays)
-        color, _, _, _ = _shade_layer(
-            tracer, rays, hit.tri, hit.valid, False, sharpness, band,
-            light_samples, key,
+        color = _shade_layer(
+            tracer, rays, hit.tri, hit.valid, light_samples, key,
         )
         bg = jnp.broadcast_to(scene.background, color.shape)
         return jnp.where(hit.valid[..., None], color, bg)
+    return _render_soft(tracer, rays, k_layers, sharpness, band, k_occ,
+                        light_samples, key)
 
+
+def _render_soft(
+    tracer: Tracer,
+    rays: Rays,
+    k_layers: int,
+    sharpness: float,
+    band: float,
+    k_occ: int,
+    light_samples: int,
+    key: Array | None,
+) -> Array:
+    """K-layer soft render, vectorized over layers with SHARED shadow
+    candidates (the round-4 restructure).
+
+    Round 3 unrolled the layers in Python, each tracing its own k_occ=16
+    occlusion walk (4 x 253 ms of the soft forward) and each contributing
+    its own scatter-add transpose (~3.4 s of backward).  Here:
+    - hit ids for all K layers come from ONE k-nearest walk (as before),
+    - surface attributes for all layers are one broadcasted _surface_attrs
+      call (one fused corner gather -> one segment-sum backward),
+    - shadow candidates are traced ONCE per (ray, light) from the nearest
+      layer's surface point and reused for every layer
+      (diff/softvis.soft_occlusion_layers),
+    - shading is one vectorized shade_lambert over the (R*K) layer points.
+    """
+    scene = tracer.scene
     # Hit ids are discrete structure; attrs are recomputed differentiably in
     # _surface_attrs, so the whole KHits record is stop-gradient (this also
     # keeps reverse-mode AD out of while-loop traversal engines).
     kh = jax.lax.stop_gradient(tracer.k_nearest(rays, k=k_layers, band=band))
     k = kh.k
+    ids = kh.tri                                   # (R, K)
+    valid = ids >= 0
+    rk = Rays(o=rays.o[:, None, :], d=rays.d[:, None, :])
+    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rk, scene, ids)
+    alphas = coverage(u, v, sharpness, valid) * det_gate(cos_dn)  # (R, K)
+    R = ids.shape[0]
+    L = scene.lights.pos.shape[0]
+    o_surf = p + SHADOW_EPS * n                    # (R, K, 3)
+    valid0 = valid[:, 0]
 
-    def layer(i):
-        tid = kh.tri[..., i]
-        valid = tid >= 0
-        color, u, v, cos_dn = _shade_layer(
-            tracer, rays, tid, valid, True, sharpness, band, light_samples, key
+    def shared_vis(light_pos, n_l):
+        """Soft transmittance (R, K, n_l) toward n_l point positions from
+        every layer, candidates traced once from layer 0 (light-major)."""
+        delta = light_pos[None, None] - p[:, :, None, :]        # (R,K,nl,3)
+        dist = jnp.sqrt(jnp.maximum(
+            jnp.sum(delta * delta, axis=-1), 1e-12))
+        wi = delta / dist[..., None]
+        o_sh = jnp.broadcast_to(
+            o_surf[None, :, 0, :], (n_l, R, 3)).reshape(-1, 3)
+        d_sh = wi[:, 0].transpose(1, 0, 2).reshape(-1, 3)
+        # miss rays: zero-length segments -> the walk drains immediately
+        t_cand = jnp.where(valid0[:, None], dist[:, 0], 0.0).T.reshape(-1)
+        occ = tracer.occluder_ids(
+            Rays(o=o_sh, d=d_sh), t_cand * SHADOW_T_FRAC, k_occ, band
+        ).reshape(n_l, R, k_occ).transpose(1, 0, 2)            # (R, nl, C)
+        return soft_occlusion_layers(
+            o_surf, wi, dist * SHADOW_T_FRAC, occ, scene.tris,
+            sharpness, band,
         )
-        alpha = coverage(u, v, sharpness, valid) * det_gate(cos_dn)
-        return color, alpha
 
-    colors, alphas = [], []
-    for i in range(k):  # static unroll; k is small
-        c, a = layer(i)
-        colors.append(c)
-        alphas.append(a)
-    colors = jnp.stack(colors, axis=-2)  # (R, K, 3)
-    alphas = jnp.stack(alphas, axis=-1)  # (R, K)
+    if L > 0:
+        vis = shared_vis(scene.lights.pos, L).reshape(R * k, L)
+    else:
+        vis = jnp.zeros((R * k, 0), jnp.float32)
+    pf, nf = p.reshape(-1, 3), n.reshape(-1, 3)
+    color = shade_lambert(
+        pf, nf, albedo.reshape(-1, 3), emission.reshape(-1, 3),
+        scene.lights, vis, scene.ambient,
+    )
+    if light_samples > 0 and key is not None:
+        lp, ln_, le, pdf, _ = sample_emitters(key, scene.tris, light_samples)
+        vis_al = shared_vis(lp, light_samples).reshape(R * k, light_samples)
+        color = color + area_light_contrib(
+            pf, nf, albedo.reshape(-1, 3), lp, ln_, le, pdf, vis_al
+        )
+    colors = jnp.where(valid[..., None], color.reshape(R, k, 3), 0.0)
     return composite(alphas, colors, scene.background)
 
 
@@ -416,6 +488,7 @@ def render(
     k_layers: int = 4,
     sharpness: float = 100.0,
     band: float = 0.08,
+    k_occ: int = 8,
     spp: int = 1,
     key: Array | None = None,
     light_samples: int = 0,
@@ -436,7 +509,7 @@ def render(
         rays = gen_primary_rays(cam, jitter)
         return render_rays(
             tracer, rays, soft=soft, k_layers=k_layers,
-            sharpness=sharpness, band=band,
+            sharpness=sharpness, band=band, k_occ=k_occ,
             light_samples=light_samples, key=skey,
         )
 

@@ -122,7 +122,7 @@ def test_packet_soft_render_close_to_brute():
     # (same settings as the bvh-vs-brute soft oracle).
     scene, cam = make_cornell_box()
     cam = cam.replace(width=32, height=32)
-    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25)
+    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25, k_occ=16)
     ref = render(scene, cam, method="brute", **kw)
     img = render(scene, cam, method="packet", **kw)
     assert jnp.allclose(img, ref, rtol=2e-3, atol=2e-3)

@@ -138,7 +138,7 @@ def test_bvh_soft_render_matches_brute_soft_render():
     cam = cam.replace(
         width=24, height=24, eye=jnp.array([0.5071, 0.4913, 2.2])
     )
-    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25)
+    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25, k_occ=16)
     tracer = make_tracer(scene, "bvh", band=0.25)
     img_bvh = np.asarray(render(scene, cam, tracer=tracer, **kw))
     img_bf = np.asarray(render(scene, cam, method="brute", **kw))

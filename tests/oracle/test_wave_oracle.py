@@ -86,7 +86,7 @@ def test_wave_render_bunny_bitwise_vs_bvh():
 def test_wave_soft_render_matches_brute():
     scene, cam = make_cornell_box()
     cam = cam.replace(width=32, height=32)
-    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25)
+    kw = dict(soft=True, k_layers=8, sharpness=30.0, band=0.25, k_occ=16)
     ref = render(scene, cam, method="brute", **kw)
     img = render(scene, cam, method="wave", **kw)
     # same ids/order; only ulp-level compositing reassociation may differ
