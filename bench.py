@@ -263,7 +263,9 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
                 verts=params["verts"], albedo=params["albedo"]))
             bvh, packed, wide = tr.bvh, tr.packed, tr.wide
             if bvh is not None:
-                bvh = refit_aabbs(bvh, jax.lax.stop_gradient(sc.tris))
+                needs_flat = method in ("bvh", "wave", "packet", "pallas")
+                bvh = refit_aabbs(bvh, jax.lax.stop_gradient(sc.tris),
+                                  update_flat=needs_flat)
                 if packed is not None:
                     from tpurt.accel.packet import refit_packed
 
@@ -274,7 +276,10 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
 
                     wide = refit_wide(wide, bvh,
                                       jax.lax.stop_gradient(sc.tris))
-            tr = tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide)
+            from tpurt.render.pipeline import tri_table
+
+            tr = tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide,
+                            table=tri_table(sc.tris))
 
             def body(acc, ch):
                 oc, dc = ch

@@ -33,7 +33,7 @@ from tpurt.core.geometry import Camera, Rays
 from tpurt.core.scene import Scene
 from tpurt.dist.collectives import chunked_grad
 from tpurt.render.camera import gen_primary_rays
-from tpurt.render.pipeline import Tracer, make_tracer, render_rays
+from tpurt.render.pipeline import Tracer, make_tracer, render_rays, tri_table
 
 Array = jax.Array
 
@@ -103,7 +103,9 @@ class InverseRenderer:
 
         def loss_fn(params, o, d, target, tracer):
             scene = self.apply_params(params)
-            tr = tracer.replace(scene=scene)
+            # table must track the step's parameters (differentiably) —
+            # one fused corner gather + segment-sum per chunk
+            tr = tracer.replace(scene=scene, table=tri_table(scene.tris))
             colors = render_rays(tr, Rays(o=o, d=d), **rkw)
             return jnp.sum((colors - target) ** 2)
 
@@ -115,7 +117,11 @@ class InverseRenderer:
             packed = self.tracer0.packed
             wide = self.tracer0.wide
             if bvh is not None and "verts" in params:
-                bvh = refit_aabbs(bvh, scene.tris)
+                # flat arrays feed only the binary engines; skip their
+                # scatter rewrite on the BVH8/brute paths (refit.py)
+                needs_flat = self.render_cfg.method in (
+                    "bvh", "wave", "packet", "pallas")
+                bvh = refit_aabbs(bvh, scene.tris, update_flat=needs_flat)
                 if packed is not None:
                     from tpurt.accel.packet import refit_packed
 

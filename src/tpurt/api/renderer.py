@@ -29,16 +29,42 @@ class Renderer:
     >>> img = r.render(cam, spp=16, key=key)  # jittered AA
     """
 
+    # scenes at/above this size default to the partitioned ring on a mesh
+    # (BASELINE config 5: 5M tris cannot be replicated per chip at pod scale)
+    AUTO_PARTITION_TRIS = 2_000_000
+
     def __init__(
         self,
         scene: Scene,
         config: RenderConfig | None = None,
         mesh=None,
+        partition: str = "auto",
     ):
+        """partition (with a mesh): 'replicated' shards rays over the mesh
+        against a replicated scene+BVH; 'ring' Morton-partitions the scene
+        across the mesh and rotates ray blocks around it (dist/ring.py —
+        hard rendering only); 'auto' picks 'ring' for scenes too large to
+        replicate (>= AUTO_PARTITION_TRIS), else 'replicated'."""
         self.config = config or RenderConfig()
         self.mesh = mesh
         self.scene = scene
-        self._tracer = make_tracer(scene, **self.config.tracer_kwargs())
+        if partition not in ("auto", "replicated", "ring"):
+            raise ValueError(partition)
+        if partition == "auto":
+            partition = (
+                "ring"
+                if mesh is not None
+                and scene.tris.num_tris >= self.AUTO_PARTITION_TRIS
+                else "replicated"
+            )
+        if partition == "ring" and mesh is None:
+            raise ValueError("partition='ring' requires a mesh")
+        self.partition = partition
+        kw = self.config.tracer_kwargs()
+        if partition == "ring":
+            kw["method"] = "ring"
+            kw["mesh"] = mesh
+        self._tracer = make_tracer(scene, **kw)
         self._compiled: dict[Any, Any] = {}
 
     @property
@@ -48,11 +74,19 @@ class Renderer:
     def update_scene(self, scene: Scene, rebuild_bvh: bool = True) -> None:
         """Swap scene; rebuild_bvh=False keeps topology (vertex-only edits
         still need a refit — use InverseRenderer for that loop)."""
+        from tpurt.render.pipeline import tri_table
+
         self.scene = scene
-        if rebuild_bvh or self._tracer.bvh is None:
-            self._tracer = make_tracer(scene, **self.config.tracer_kwargs())
+        kw = self.config.tracer_kwargs()
+        if self.partition == "ring":
+            kw["method"] = "ring"
+            kw["mesh"] = self.mesh
+        if rebuild_bvh or (self._tracer.bvh is None
+                           and self.partition != "ring"):
+            self._tracer = make_tracer(scene, **kw)
         else:
-            self._tracer = self._tracer.replace(scene=scene)
+            self._tracer = self._tracer.replace(
+                scene=scene, table=tri_table(scene.tris))
 
     # -- rendering --------------------------------------------------------
     def render_rays(self, rays: Rays, **overrides: Any) -> jax.Array:
@@ -63,6 +97,15 @@ class Renderer:
         if kw.get("light_samples", 0) > 0 and key is None:
             key = jax.random.key(self.config.light_seed)
         if self.mesh is not None:
+            if self.partition == "ring":
+                # the ring engine shards rays + scene internally
+                # (jit+shard_map inside dist/ring.py); no outer wrapper
+                if kw.get("soft"):
+                    raise ValueError(
+                        "soft rendering is not supported on the partitioned "
+                        "ring path; use partition='replicated'"
+                    )
+                return render_rays(self._tracer, rays, key=key, **kw)
             from tpurt.dist.shard import shard_render_rays
 
             return shard_render_rays(self._tracer, rays, self.mesh, key=key,

@@ -244,7 +244,7 @@ def soft_occlusion_layers(
     d: Array,
     t_max: Array,
     ids: Array,
-    tris: Triangles,
+    table: Array,
     sharpness: float,
     band: float = 0.08,
     t_min: float = DEFAULT_T_MIN,
@@ -259,19 +259,21 @@ def soft_occlusion_layers(
     per layer — 4 x 253 ms of the soft forward; deeper layers' shadow
     segments overlap the nearest layer's almost entirely and carry
     exponentially less compositing weight, docs/PERF.md round 4).
+    table: the (T, 15) render/pipeline.tri_table.
 
     Gradients: ids are discrete stop-grad structure; (t,u,v) recompute
-    analytically through diff/intersect_vjp and the single fused
-    gather_corners gives ONE sorted segment-sum on the way back instead of
-    K*C scatter-adds (diff/gather_grad.py).
+    analytically through diff/intersect_vjp and the single fused table-row
+    gather gives ONE sorted segment-sum on the way back instead of K*C
+    scatter-adds (diff/gather_grad.py).
     """
-    from tpurt.diff.gather_grad import gather_corners
+    from tpurt.diff.gather_grad import gather_verts
 
     ids = jax.lax.stop_gradient(ids)
     tid = jnp.maximum(ids, 0)
-    v0, v1, v2 = gather_corners(tris.verts, tris.faces, tid)  # (R, L, C, 3)
-    e1 = v1 - v0
-    e2 = v2 - v0
+    row = gather_verts(table, tid)           # (R, L, C, 15)
+    v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    v1 = v0 + e1
+    v2 = v0 + e2
     nrm = jnp.cross(e1, e2)
     o4 = o[:, :, None, None, :]          # (R, K, 1, 1, 3)
     d4 = d[:, :, :, None, :]             # (R, K, L, 1, 3)

@@ -168,16 +168,22 @@ def _node_row(wrow, w):
 
 
 def _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper, interpret,
-                stack_walk):
+                stack_walk, live=None):
     """Bit c+1: any ray passes child c's box — the leaf/push gates.  Bit 0
     (escape walk only): any ray passes the node's OWN box.  One reduction
     total.  The stack walk skips the own-box slab entirely: children boxes
     are contained in it, so own & boxed_c == boxed_c, and pushed-then-stale
     subtrees are pruned by their own children's tests against the shrunken
-    t_best — the own test is pure waste there (1 of 9 slabs)."""
+    t_best — the own test is pure waste there (1 of 9 slabs).
+    live (stack walk only): a (sub, LANE) bool tile ORed into bit 0 so the
+    caller can drain the whole walk (sp -> 0) once no ray remains live —
+    the occlusion kernel's all-blocked early exit."""
     if stack_walk:
         own = None
-        hitm = jnp.zeros(upper.shape, jnp.int32)
+        if live is None:
+            hitm = jnp.zeros(upper.shape, jnp.int32)
+        else:
+            hitm = jnp.where(live, jnp.int32(1), jnp.int32(0))
     else:
         own = _slab8(
             oix, oiy, oiz, ix, iy, iz,
@@ -476,17 +482,24 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
     blk_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
     row_s, sem = dma if tri_in_hbm else (None, None)
 
+    # Rays whose window (t_min, tmax) is empty can never block: misses get
+    # t_max = 0 upstream (pipeline) so they start dead and a fully-dead
+    # packet drains its stack on the first visit.
+    alive0 = tmax > t_min
+
     def visit(cur, sp):
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         # Blocked rays get upper < t_min so every slab test fails for them;
-        # once all rays block, bit 0 clears and the walk drains.
-        upper = jnp.where(blk_o[0, 0] > 0, t_min - 1.0, tmax)
+        # bit 0 = any ray still live -> stack drained when it clears.
+        live = alive0 & (blk_o[0, 0] == 0)
+        upper = jnp.where(live, tmax, t_min - 1.0)
         if tri_in_hbm:
             _start_leaf_dmas(metas, rows, row_s, sem)
         bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper,
-                           interpret, stack_walk)
+                           interpret, stack_walk,
+                           live=live if stack_walk else None)
         for c in range(ENTRIES):
             m = metas[c]
             hit_c = ((bits >> (c + 1)) & 1) > 0
@@ -521,6 +534,10 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
             if stack_walk:
                 push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
                 sp = _stack_push(stk, sp, m, push)
+        if stack_walk:
+            # all-blocked drain: no live ray left -> empty the stack now
+            # instead of popping (and box-testing) every queued subtree
+            sp = jnp.where((bits & 1) > 0, sp, jnp.int32(0))
         return bits, esc, has_i, sp
 
     _run_walk(visit, stack_walk, stk)

@@ -27,7 +27,7 @@ from tpurt.core.geometry import Hit, KHits, Rays
 from tpurt.core.scene import Scene
 from tpurt.core.math import sample_square
 from tpurt.diff.intersect_vjp import intersect_tuv
-from tpurt.diff.gather_grad import gather_corners, gather_verts
+from tpurt.diff.gather_grad import gather_verts
 from tpurt.diff.softvis import (
     composite,
     coverage,
@@ -50,11 +50,36 @@ SHADOW_EPS = 1e-3  # offset shadow-ray origins off the surface
 SHADOW_T_FRAC = 1.0 - 1e-3  # stop shadow rays just before the light
 
 
+def tri_table(tris) -> Array:
+    """Packed per-triangle shading/geometry table, (T, 15) f32:
+    [v0 (3), e1 (3), e2 (3), albedo (3), emission (3)].
+
+    Why: XLA row gathers cost ~10 ns/row on v5e regardless of width
+    (measured, docs/PERF.md round 4), so per-hit attribute fetches dominate
+    both renders once traversal is fast — the round-3 pipeline issued SIX
+    gathers per (ray, layer): faces, three corners, albedo, emission
+    (~8M rows = ~80 ms of a 152 ms hard 1080p frame).  Everything downstream
+    now gathers ONE table row per (ray, layer/candidate).
+
+    Differentiable: built through the fused segment-sum corner gather, so
+    d(table)/d(verts, albedo) is one sorted segment-sum per step.  Contract:
+    the table must be rebuilt whenever scene.tris changes (render() and the
+    fit/bench steps do; make_tracer builds the static-scene one eagerly).
+    """
+    from tpurt.diff.gather_grad import gather_verts as _gv
+
+    v = _gv(tris.verts, tris.faces)          # (T, 3 corners, 3)
+    v0 = v[:, 0]
+    return jnp.concatenate(
+        [v0, v[:, 1] - v0, v[:, 2] - v0, tris.albedo, tris.emission], axis=-1
+    )
+
+
 class Tracer(struct.PyTreeNode):
     """Traversal engine bound to a scene.
 
     method (static): 'brute' | 'bvh' | 'packet' | 'wave' | 'pallas' |
-    'pallas8'.
+    'pallas8' | 'ring'.
     - 'brute':  O(R*T) oracle (accel/intersect.py).
     - 'bvh':    per-ray pure-JAX LBVH traversal (accel/traverse_ref.py) —
                 CPU oracle; per-ray node gathers blow up on TPU.
@@ -65,13 +90,41 @@ class Tracer(struct.PyTreeNode):
     - 'pallas': binary-BVH Pallas kernels (kernels/traverse.py).
     - 'pallas8': 8-wide BVH Pallas kernels (kernels/traverse8.py) — the
                 production TPU engine; `wide` carries its layout.
+    - 'ring':   scene PARTITIONED across a device mesh, ray blocks rotated
+                around the ring (dist/ring.py; BASELINE config 5).  `part`
+                carries the Morton partition, `pbvh` the per-partition
+                packed BVHs, `mesh` (static) the jax.sharding.Mesh.  Hard
+                rendering only — the soft/differentiable path needs the
+                replicated-scene engines (raises otherwise).
     """
 
     scene: Scene
     bvh: Any = None
     packed: Any = None
     wide: Any = None
+    # packed (T, 15) attribute table (tri_table); MUST track scene.tris —
+    # rebuild via tracer.replace(scene=sc, table=tri_table(sc.tris))
+    table: Any = None
+    # 'ring' engine state (dist/): Morton ScenePartition, per-partition
+    # packed BVHs, and the device mesh the ring rotates over
+    part: Any = None
+    pbvh: Any = None
+    mesh: Any = struct.field(pytree_node=False, default=None)
     method: str = struct.field(pytree_node=False, default="brute")
+
+    def _ring_pad(self, rays: Rays, *extra):
+        n_dev = self.mesh.devices.size
+        o = rays.o.reshape(-1, 3)
+        d = rays.d.reshape(-1, 3)
+        n = o.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            o = jnp.pad(o, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)))
+            extra = tuple(jnp.pad(e.reshape(-1), (0, pad)) for e in extra)
+        else:
+            extra = tuple(e.reshape(-1) for e in extra)
+        return Rays(o=o, d=d), n, extra
 
     # -- closest hit ------------------------------------------------------
     def closest(self, rays: Rays) -> Hit:
@@ -97,10 +150,25 @@ class Tracer(struct.PyTreeNode):
             from tpurt.kernels.traverse8 import traverse_pallas8
 
             return traverse_pallas8(rays, self.scene.tris, self.wide)
+        if self.method == "ring":
+            from tpurt.dist.ring import ring_trace
+
+            shape = rays.shape
+            flat, n, _ = self._ring_pad(rays)
+            hit = ring_trace(self.mesh, flat, self.part, pbvh=self.pbvh)
+            return Hit(
+                t=hit.t[:n].reshape(shape), u=hit.u[:n].reshape(shape),
+                v=hit.v[:n].reshape(shape), tri=hit.tri[:n].reshape(shape),
+            )
         raise ValueError(self.method)
 
     # -- K nearest extended hits (soft/differentiable path) ---------------
     def k_nearest(self, rays: Rays, k: int, band: float) -> KHits:
+        if self.method == "ring":
+            raise ValueError(
+                "soft/differentiable rendering needs a replicated-scene "
+                "engine; the ring path is hard-render only"
+            )
         if self.method == "brute":
             return k_nearest_brute(rays, self.scene.tris, k=k, band=band)
         if self.method == "bvh":
@@ -170,6 +238,14 @@ class Tracer(struct.PyTreeNode):
             from tpurt.kernels.traverse8 import occluded_pallas8
 
             occ = occluded_pallas8(rays, self.scene.tris, self.wide, t_max=t_max)
+        elif self.method == "ring":
+            from tpurt.dist.ring import ring_occluded
+
+            shape = rays.shape
+            tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+            flat, n, (tm,) = self._ring_pad(rays, tmax_arr)
+            occ = ring_occluded(self.mesh, flat, self.part, tm,
+                                pbvh=self.pbvh)[:n].reshape(shape)
         else:
             raise ValueError(self.method)
         return 1.0 - occ.astype(jnp.float32)
@@ -229,15 +305,31 @@ class Tracer(struct.PyTreeNode):
 
 
 def make_tracer(
-    scene: Scene, method: str = "brute", leaf_size: int = 8, band: float = 0.0
+    scene: Scene, method: str = "brute", leaf_size: int = 8, band: float = 0.0,
+    mesh=None,
 ) -> Tracer:
     """Build a Tracer (and its BVH when method needs one).
 
     band must match the soft path's barycentric band when rendering with
     soft=True: node AABBs are inflated so extended near-miss hits are found.
+    method='ring' (requires `mesh`): Morton-partition the scene across the
+    mesh with per-partition packed BVHs — BASELINE config 5's sharded-scene
+    path, reachable from the API (hard rendering only).
     """
+    if method == "ring":
+        if mesh is None:
+            raise ValueError("method='ring' needs a jax.sharding.Mesh")
+        from tpurt.dist.scene_partition import (
+            build_partition_bvhs, partition_scene,
+        )
+
+        part = partition_scene(scene.tris, mesh.devices.size)
+        pbvh = build_partition_bvhs(part, leaf_size=leaf_size)
+        return Tracer(scene=scene, method=method, part=part, pbvh=pbvh,
+                      mesh=mesh, table=tri_table(scene.tris))
     if method == "brute":
-        return Tracer(scene=scene, bvh=None, method=method)
+        return Tracer(scene=scene, bvh=None, method=method,
+                      table=tri_table(scene.tris))
     from tpurt.accel.lbvh import build_lbvh
 
     # jit the build: eager op-by-op dispatch of the O(log N) level passes is
@@ -263,27 +355,27 @@ def make_tracer(
         # one host sync (the greedy collapse is host-side; topology is
         # frozen afterwards — the fit loop refits boxes only)
         wide = build_wide(scene.tris, bvh)
-    return Tracer(scene=scene, bvh=bvh, packed=packed, wide=wide, method=method)
+    return Tracer(scene=scene, bvh=bvh, packed=packed, wide=wide,
+                  method=method, table=tri_table(scene.tris))
 
 
 # ---------------------------------------------------------------------------
 # Shading from hit records
 # ---------------------------------------------------------------------------
-def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
+def _surface_attrs(rays: Rays, table: Array, tri_id: Array):
     """Differentiable surface attributes for given (stop-grad) triangle ids.
 
-    Recomputes (t,u,v) analytically from ray and gathered vertices so the
-    gradient path is identical regardless of which engine produced the ids.
-    Returns (t, u, v, p, n, albedo, emission); callers mask invalid ids.
+    ONE table-row gather per (ray, layer) — see tri_table — then (t,u,v)
+    recomputed analytically from ray and gathered geometry so the gradient
+    path is identical regardless of which engine produced the ids.
+    Returns (t, u, v, p, n, albedo, emission, cos_dn); callers mask invalid
+    ids.
     """
     tid = jax.lax.stop_gradient(jnp.maximum(tri_id, 0))
-    tris = scene.tris
-    # fused corner gather: backward is ONE sorted segment-sum over all
-    # (ray, layer) contributions instead of per-corner scatter-adds
-    # (diff/gather_grad.py; the round-3 backward bottleneck)
-    v0, v1, v2 = gather_corners(tris.verts, tris.faces, tid)
-    e1 = v1 - v0
-    e2 = v2 - v0
+    row = gather_verts(table, tid)           # (..., 15)
+    v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    v1 = v0 + e1
+    v2 = v0 + e2
     # (t, u, v) via the analytic custom VJP (diff/intersect_vjp.py): same
     # formulas/values as the inline MT it replaced, but backward keeps only
     # the five primal inputs live instead of autodiff residuals.
@@ -299,9 +391,7 @@ def _surface_attrs(rays: Rays, scene: Scene, tri_id: Array):
     d_len = jnp.maximum(jnp.linalg.norm(rays.d, axis=-1), 1e-20)
     cos_dn = det / (d_len * n_len[..., 0])
     n = face_forward(n, rays.d)
-    albedo = gather_verts(tris.albedo, tid)
-    emission = gather_verts(tris.emission, tid)
-    return t, u, v, p, n, albedo, emission, cos_dn
+    return t, u, v, p, n, row[..., 9:12], row[..., 12:15], cos_dn
 
 
 def _shade_layer(
@@ -319,7 +409,8 @@ def _shade_layer(
     emitter sample points are shared across the ray batch per call.
     """
     scene = tracer.scene
-    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rays, scene, tri_id)
+    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
+        rays, tracer.table, tri_id)
     wi, dist, _ = light_dirs(p, scene.lights)
     # Shadow rays: one per (ray, light), flattened LIGHT-major — adjacent
     # rays in a packet then share one light (coherent subtrees); ray-major
@@ -432,7 +523,8 @@ def _render_soft(
     ids = kh.tri                                   # (R, K)
     valid = ids >= 0
     rk = Rays(o=rays.o[:, None, :], d=rays.d[:, None, :])
-    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(rk, scene, ids)
+    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
+        rk, tracer.table, ids)
     alphas = coverage(u, v, sharpness, valid) * det_gate(cos_dn)  # (R, K)
     R = ids.shape[0]
     L = scene.lights.pos.shape[0]
@@ -455,7 +547,7 @@ def _render_soft(
             Rays(o=o_sh, d=d_sh), t_cand * SHADOW_T_FRAC, k_occ, band
         ).reshape(n_l, R, k_occ).transpose(1, 0, 2)            # (R, nl, C)
         return soft_occlusion_layers(
-            o_surf, wi, dist * SHADOW_T_FRAC, occ, scene.tris,
+            o_surf, wi, dist * SHADOW_T_FRAC, occ, tracer.table,
             sharpness, band,
         )
 
@@ -503,7 +595,7 @@ def render(
         # hits fall outside the boxes and get culled engine-dependently.
         tracer = make_tracer(scene, method, band=band if soft else 0.0)
     else:
-        tracer = tracer.replace(scene=scene)
+        tracer = tracer.replace(scene=scene, table=tri_table(scene.tris))
 
     def one_sample(jitter, skey):
         rays = gen_primary_rays(cam, jitter)

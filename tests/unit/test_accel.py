@@ -240,3 +240,31 @@ def test_max_cut_leaves_bounds_actual():
             actual = int(bvh.flat_is_leaf.sum())
             bound = max_cut_leaves(f, leaf_size)
             assert actual <= bound, (f, leaf_size, actual, bound)
+
+
+def test_range_minmax_sparse_matches_levelsync():
+    """The RMQ refit must reproduce the bottom-up child-fold BITWISE
+    (min/max are exact, so overlapping windows change nothing)."""
+    import jax
+    import numpy as np
+    from tpurt.accel.lbvh import build_lbvh, refit_node_aabbs
+    from tpurt.accel.refit import range_minmax_sparse
+    from tpurt.core.geometry import Triangles
+
+    for n, seed in ((2, 0), (7, 1), (100, 2), (1000, 3)):
+        rng = np.random.default_rng(seed)
+        verts = rng.normal(size=(3 * n, 3)).astype(np.float32)
+        faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+        tris = Triangles(
+            verts=jnp.asarray(verts), faces=jnp.asarray(faces),
+            albedo=jnp.ones((n, 3), jnp.float32),
+            emission=jnp.zeros((n, 3), jnp.float32),
+        )
+        bvh = build_lbvh(tris)
+        v0, v1, v2 = tris.corners()
+        tlo = jnp.minimum(jnp.minimum(v0, v1), v2)[bvh.tri_order]
+        thi = jnp.maximum(jnp.maximum(v0, v1), v2)[bvh.tri_order]
+        lo_ref, hi_ref = refit_node_aabbs(bvh.left, bvh.right, tlo, thi, 128)
+        lo, hi = range_minmax_sparse(tlo, thi, bvh.first, bvh.last)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
