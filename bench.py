@@ -286,6 +286,12 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
                 colors = render_rays(tr, Rays(o=oc, d=dc), **rkw)
                 return acc + jnp.sum(colors * colors), None
 
+            # remat the chunk body: without it the stacked per-chunk
+            # residuals blow the compile helper at full-frame ray counts
+            # (HTTP 500, measured); with it the full 1080p frame runs at
+            # 0.91M rays/s fwd+bwd (docs/PERF.md round 4)
+            if n_chunks > 1:
+                body = jax.checkpoint(body)
             total, _ = jax.lax.scan(body, jnp.float32(0.0), (o_c, d_c))
             return total
 
@@ -560,7 +566,7 @@ def _run_sort_bench() -> None:
     for n in sizes:
         keys = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
         vals = jnp.arange(n, dtype=jnp.int32)
-        for backend in ("xla", "pallas"):
+        for backend in ("xla",):  # pallas sort retired: docs/RETIRED.md
             try:
                 f = jax.jit(lambda k, v, b=backend: sort_pairs(k, v, backend=b))
                 t0 = time.perf_counter()

@@ -20,3 +20,25 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# -- test tiers (VERDICT r3 weak #8) ----------------------------------------
+# Interpret-mode Pallas kernel oracles and process-spawning tests dominate
+# the suite's 20-36 min CPU wall time; mark them `slow` so the inner loop
+# can run `pytest -m "not slow"` (<3 min) without losing them from CI/nightly.
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_pallas_oracle",
+    "test_pallas8_oracle",
+    "test_treebuild_pallas",
+    "test_multihost",
+    "test_fault_resume",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

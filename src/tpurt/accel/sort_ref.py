@@ -60,13 +60,19 @@ def radix_sort_ref(keys: Array, vals: Array | None = None, num_bits: int = 32):
 
 
 def sort_pairs(keys: Array, vals: Array, backend: str = "xla"):
-    """Sort (keys, vals) by key ascending. backend: 'xla' | 'ref' | 'pallas'."""
+    """Sort (keys, vals) by key ascending. backend: 'xla' | 'ref'.
+
+    'xla' (lax.sort_key_val) is the measured production path: 646/348
+    Mkeys/s at 1M/5M keys on v5e.  The Pallas radix kernel was retired in
+    round 4 (Mosaic cumsum gap + a ~25 Mkeys/s scatter-apply ceiling) —
+    decision record: docs/RETIRED.md."""
     if backend == "xla":
         return jax.lax.sort_key_val(keys, vals)
     if backend == "ref":
         return radix_sort_ref(keys, vals)
     if backend == "pallas":
-        from tpurt.kernels.sort import radix_sort_pallas
-
-        return radix_sort_pallas(keys, vals)
+        raise ValueError(
+            "the Pallas radix sort was retired (docs/RETIRED.md); "
+            "use backend='xla'"
+        )
     raise ValueError(backend)

@@ -94,6 +94,12 @@ def _auto_sub(wide: WideBVH) -> int:
     return 64 if wide.num_wides > 8192 else 32
 # VMEM headroom reserved for ray tiles, leaf DMA scratch and double buffers.
 _SCRATCH_HEADROOM = 256 * 1024
+# The wide engine's own VMEM ceiling: a v5e TensorCore has 128 MB of VMEM,
+# and the HBM-triangle tier keeps ONLY the wide-node rows resident (~39 MB
+# at 5M tris) — the binary engine's conservative 13 MB budget (shared with
+# its triangle rows) would wrongly reject the 5M config (BASELINE.json:11).
+# Validated on-chip at 5M tris (docs/PERF.md round 4).
+VMEM_BUDGET8_BYTES = 96 * 1024 * 1024
 
 
 def plan8(wide: WideBVH):
@@ -102,7 +108,7 @@ def plan8(wide: WideBVH):
     wb, tb = wide_bytes(wide), tri_rows_bytes(wide)
     if wb + tb + _SCRATCH_HEADROOM <= VMEM_BUDGET_BYTES:
         return (False,)
-    if wb + _SCRATCH_HEADROOM <= VMEM_BUDGET_BYTES:
+    if wb + _SCRATCH_HEADROOM <= VMEM_BUDGET8_BYTES:
         return (True,)
     return None
 
@@ -311,7 +317,12 @@ def _run_walk(visit, stack_walk: bool, stk):
 
 
 def _compiler_params():
-    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+    # vmem_limit_bytes: Mosaic's default scoped-VMEM limit is 16 MB — a
+    # compiler default, not hardware (v5e has 128 MB).  The 5M-tri config's
+    # wide-node rows are ~45 MB and must be VMEM-resident for dynamic row
+    # loads (BASELINE.json:11); validated on-chip at 5M (docs/PERF.md r4).
+    return pltpu.CompilerParams(dimension_semantics=("parallel",),
+                                vmem_limit_bytes=110 * 1024 * 1024)
 
 
 def _prep(rays: Rays, wide: WideBVH, sub: int, *extra):
