@@ -359,6 +359,10 @@ def main() -> None:
                     help="benchmark Pallas radix sort vs lax.sort at 1M/5M "
                          "keys (rows on stderr; SURVEY §7 '#6 decide by "
                          "benchmark')")
+    ap.add_argument("--skip-5m", action="store_true",
+                    help="skip the 5M-triangle 4K config row (BASELINE "
+                         "config 5, single-chip part; runs by default on "
+                         "TPU with the default scene)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the timed region "
                          "into this directory (overlap evidence, VERDICT #5)")
@@ -458,6 +462,9 @@ def main() -> None:
             else:
                 row["fwd_bwd_error"] = "all methods failed"
 
+        if (not args.skip_5m and args.scene == "sponza"
+                and dev.platform != "cpu"):
+            _run_5m(args, row)
         if args.staged:
             _run_staged(args)
         if args.sort_bench:
@@ -469,6 +476,38 @@ def main() -> None:
         row["error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(row), flush=True)
+
+
+def _run_5m(args, row: dict) -> None:
+    """BASELINE config 5, single-chip part (BASELINE.json:11): build the 5M-
+    triangle scene and render one full 4K frame through the BVH8 HBM tier.
+    Emits its own JSON row on STDOUT (before the headline line, which stays
+    last for the driver's parser) and mirrors the numbers into the headline
+    row as *_5m keys."""
+    try:
+        from tpurt.core.scene import get_scene
+
+        scene, cam = get_scene("sponza5m")
+        log(f"5M config: tris={scene.tris.num_tris} frame={cam.num_pixels}")
+        res = run_one(scene, cam, "pallas8", "fwd", cam.num_pixels,
+                      iters=2, warmup=1, ray_order=args.ray_order)
+        print(json.dumps({
+            "metric": "primary_rays_per_s_per_chip_fwd",
+            "value": res["rays_per_s"], "unit": "rays/s",
+            "vs_baseline": res["rays_per_s"] / BASELINE_RAYS_PER_S,
+            "scene": "sponza5m", "tris": int(scene.tris.num_tris),
+            "width": cam.width, "height": cam.height,
+            "method": "pallas8", "engine_ran": res["engine_ran"],
+            "bench_rays": res["bench_rays"], "build_s": res["build_s"],
+            "compile_s": res["compile_s"],
+            "ms_per_frame": res["ms_per_call"],
+        }), flush=True)
+        row.update(value_5m=res["rays_per_s"], tris_5m=int(scene.tris.num_tris),
+                   ms_per_frame_5m=res["ms_per_call"],
+                   build_s_5m=res["build_s"], engine_ran_5m=res["engine_ran"])
+    except Exception as e:
+        log(f"5M config failed: {type(e).__name__}: {e}")
+        row["error_5m"] = f"{type(e).__name__}: {e}"[:200]
 
 
 def _run_pallas_parity() -> None:

@@ -316,11 +316,21 @@ def _run_walk(visit, stack_walk: bool, stk):
         jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
 
 
-def _compiler_params():
+_MOSAIC_DEFAULT_VMEM = 16 * 1024 * 1024
+
+
+def _compiler_params(wide: WideBVH, tri_in_hbm: bool):
     # vmem_limit_bytes: Mosaic's default scoped-VMEM limit is 16 MB — a
     # compiler default, not hardware (v5e has 128 MB).  The 5M-tri config's
     # wide-node rows are ~45 MB and must be VMEM-resident for dynamic row
-    # loads (BASELINE.json:11); validated on-chip at 5M (docs/PERF.md r4).
+    # loads (BASELINE.json:11).  Raise the limit ONLY when the resident
+    # arrays actually exceed the default: a blanket raise changes Mosaic's
+    # allocation strategy for small layouts too and cost the 1M VMEM tier
+    # ~2x (32.8M -> 17.9M rays/s, measured on v5e — docs/PERF.md round 4).
+    need = wide_bytes(wide) + (0 if tri_in_hbm else tri_rows_bytes(wide))
+    need += 4 * _SCRATCH_HEADROOM
+    if need <= _MOSAIC_DEFAULT_VMEM:
+        return pltpu.CompilerParams(dimension_semantics=("parallel",))
     return pltpu.CompilerParams(dimension_semantics=("parallel",),
                                 vmem_limit_bytes=110 * 1024 * 1024)
 
@@ -463,7 +473,7 @@ def traverse_pallas8(
         out_specs=[_ray_spec(sub, 1)] * 4,
         out_shape=[tile, tile, tile, itile],
         scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
     shape = rays.shape
@@ -588,7 +598,7 @@ def occluded_pallas8(
         out_specs=_ray_spec(sub, 1),
         out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
         scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
     return (blk.reshape(-1)[:n] > 0).reshape(shape)
@@ -734,7 +744,7 @@ def k_nearest_ids_pallas8(
         out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((k, sub, LANE), jnp.float32)]
         + _walk_scratch(walk == "stack", tri_in_hbm),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
     # (p, 1, k, sub, 128) -> (p*sub*128, k)
