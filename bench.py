@@ -256,14 +256,25 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         o_c = o_p.reshape(n_chunks, chunk, 3)
         d_c = d_p.reshape(n_chunks, chunk, 3)
 
-        def loss(params, tr, o_c, d_c):
-            from tpurt.accel.refit import refit_aabbs
+        # TABLE-SPACE gradient accumulation: after the round-4 restructure
+        # ALL vertex/albedo dependence of the soft render flows through the
+        # (T, 15) tri_table, so each ray chunk's VJP can stop at a DENSE
+        # table cotangent (one (T, 15) add per chunk, bounded residual
+        # memory, no remat double-forward) and the verts-level sorted
+        # segment-sum runs ONCE per step.  Each piece is its own jit; the
+        # python chunk loop dispatches asynchronously and only the final
+        # readback syncs.
+        from tpurt.accel.refit import refit_aabbs
+        from tpurt.render.pipeline import tri_table
 
+        needs_flat = method in ("bvh", "wave", "packet", "pallas")
+
+        @jax.jit
+        def prep(tr, verts, albedo):
             sc = tr.scene.replace(tris=tr.scene.tris.replace(
-                verts=params["verts"], albedo=params["albedo"]))
+                verts=verts, albedo=albedo))
             bvh, packed, wide = tr.bvh, tr.packed, tr.wide
             if bvh is not None:
-                needs_flat = method in ("bvh", "wave", "packet", "pallas")
                 bvh = refit_aabbs(bvh, jax.lax.stop_gradient(sc.tris),
                                   update_flat=needs_flat)
                 if packed is not None:
@@ -276,29 +287,46 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
 
                     wide = refit_wide(wide, bvh,
                                       jax.lax.stop_gradient(sc.tris))
-            from tpurt.render.pipeline import tri_table
+            return tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide)
 
-            tr = tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide,
-                            table=tri_table(sc.tris))
+        def _table_of(tr, verts, albedo):
+            return tri_table(tr.scene.tris.replace(verts=verts, albedo=albedo))
 
-            def body(acc, ch):
-                oc, dc = ch
-                colors = render_rays(tr, Rays(o=oc, d=dc), **rkw)
-                return acc + jnp.sum(colors * colors), None
+        @jax.jit
+        def table_fwd(tr, verts, albedo):
+            return _table_of(tr, verts, albedo)
 
-            # remat the chunk body: without it the stacked per-chunk
-            # residuals blow the compile helper at full-frame ray counts
-            # (HTTP 500, measured); with it the full 1080p frame runs at
-            # 0.91M rays/s fwd+bwd (docs/PERF.md round 4)
-            if n_chunks > 1:
-                body = jax.checkpoint(body)
-            total, _ = jax.lax.scan(body, jnp.float32(0.0), (o_c, d_c))
-            return total
+        @jax.jit
+        def chunk_vjp(tr, table, oc, dc):
+            def closs(tb):
+                colors = render_rays(tr.replace(table=tb),
+                                     Rays(o=oc, d=dc), **rkw)
+                return jnp.sum(colors * colors)
 
-        g = jax.grad(loss)
-        fn = jax.jit(lambda tr, o_c, d_c: g(
-            {"verts": tr.scene.tris.verts, "albedo": tr.scene.tris.albedo},
-            tr, o_c, d_c))
+            loss_c, vjp = jax.vjp(closs, table)
+            return loss_c, vjp(jnp.float32(1.0))[0]
+
+        @jax.jit
+        def table_bwd(tr, verts, albedo, tcot):
+            _, vjp = jax.vjp(lambda v, a: _table_of(tr, v, a), verts, albedo)
+            gv, ga = vjp(tcot)
+            return {"verts": gv, "albedo": ga}
+
+        @jax.jit
+        def acc(a, b):
+            return a + b
+
+        def fn(tr, o_c, d_c):
+            verts = tr.scene.tris.verts
+            albedo = tr.scene.tris.albedo
+            tr2 = prep(tr, verts, albedo)
+            table = table_fwd(tr, verts, albedo)
+            tcot = None
+            for i in range(n_chunks):
+                _, tc = chunk_vjp(tr2, table, o_c[i], d_c[i])
+                tcot = tc if tcot is None else acc(tcot, tc)
+            return table_bwd(tr, verts, albedo, tcot)
+
         args = (tracer, o_c, d_c)
 
     rays_per_s, ms, compile_s = _bench_chunk(fn, args, n, iters, warmup,
