@@ -158,6 +158,45 @@ def _converge(body, init, max_iters: int):
     return out
 
 
+def range_minmax_sparse(leaf_lo: Array, leaf_hi: Array,
+                        first: Array, last: Array):
+    """Box of every [first, last] leaf range via a sparse-table RMQ.
+
+    Karras internal nodes cover CONTIGUOUS sorted-leaf ranges, so a node box
+    is a range-min/max over the sorted per-leaf boxes — no tree walk needed.
+    Sparse table: level k holds the reduce over windows [i, i + 2^k); any
+    range is covered exactly by two overlapping power-of-2 windows (min/max
+    are idempotent, so the overlap is harmless and the result is BITWISE
+    identical to the bottom-up child-fold).  Build is log2(N) dense passes
+    (~3 ms at 1M); queries are two row gathers per id array.
+
+    Measured motivation (v5e, docs/PERF.md round 4): the level-synchronous
+    refit walk cost 702 ms at 1M tris (128 full-array gather passes) and was
+    2/3 of the whole fwd+bwd fit step; this form is ~21x faster.
+    """
+    n = leaf_lo.shape[0]
+    big = jnp.float32(3.0e38)
+    box = jnp.concatenate([leaf_lo, -leaf_hi], axis=-1)  # min-reduce both
+    levels = [box]
+    k = 1
+    while (1 << k) <= n:
+        h = 1 << (k - 1)
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [prev[h:], jnp.full((h, 6), big, prev.dtype)]
+        )
+        levels.append(jnp.minimum(prev, shifted))
+        k += 1
+    table = jnp.stack(levels)                      # (K, n, 6)
+    flat = table.reshape(-1, 6)
+    length = last - first + 1
+    kq = 31 - jax.lax.clz(length)                  # floor(log2(len)), exact
+    a = flat[kq * n + first]
+    b = flat[kq * n + (last + 1 - (1 << kq))]
+    m = jnp.minimum(a, b)
+    return m[..., 0:3], -m[..., 3:6]
+
+
 def refit_node_aabbs(
     left: Array, right: Array, leaf_lo: Array, leaf_hi: Array, max_depth: int
 ):
@@ -316,7 +355,11 @@ def build_lbvh(
 
     leaf_lo = tri_lo[tri_order]
     leaf_hi = tri_hi[tri_order]
-    node_lo, node_hi = refit_node_aabbs(left, right, leaf_lo, leaf_hi, max_depth)
+    # Node boxes via the sparse-table RMQ over the contiguous sorted-leaf
+    # ranges — bitwise-equal to the level-sync fold but O(log N) dense
+    # passes instead of O(depth) full-array gather passes (the build's
+    # largest exec cost at 5M tris; accel/refit.py has the measurements).
+    node_lo, node_hi = range_minmax_sparse(leaf_lo, leaf_hi, first, last)
 
     dfs, esc, live, is_eff_leaf = _thread_dfs(
         left, right, parent, first, last, leaf_size, max_depth
