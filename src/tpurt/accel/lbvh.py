@@ -177,17 +177,22 @@ def range_minmax_sparse(leaf_lo: Array, leaf_hi: Array,
     n = leaf_lo.shape[0]
     big = jnp.float32(3.0e38)
     box = jnp.concatenate([leaf_lo, -leaf_hi], axis=-1)  # min-reduce both
-    levels = [box]
-    k = 1
-    while (1 << k) <= n:
+    # Build the (K, n, 6) table by in-place row-plane updates instead of a
+    # levels list + jnp.stack: the stack form kept every level alive TWICE
+    # (list + stacked copy, ~2x2.8 GB transient at 5M tris — ADVICE r4);
+    # .at[k].set lets XLA update one buffer, so peak is table + 2 levels.
+    n_levels = 1
+    while (1 << n_levels) <= n:
+        n_levels += 1
+    table = jnp.full((n_levels, n, 6), big, box.dtype).at[0].set(box)
+    prev = box
+    for k in range(1, n_levels):
         h = 1 << (k - 1)
-        prev = levels[-1]
         shifted = jnp.concatenate(
             [prev[h:], jnp.full((h, 6), big, prev.dtype)]
         )
-        levels.append(jnp.minimum(prev, shifted))
-        k += 1
-    table = jnp.stack(levels)                      # (K, n, 6)
+        prev = jnp.minimum(prev, shifted)
+        table = table.at[k].set(prev)
     flat = table.reshape(-1, 6)
     length = last - first + 1
     kq = 31 - jax.lax.clz(length)                  # floor(log2(len)), exact
@@ -233,7 +238,24 @@ def _thread_dfs(
     leaf_size: int,
     max_depth: int,
 ):
-    """Treelet cut + DFS numbering + escape links, all by level-sync passes.
+    """Treelet cut + DFS numbering + escape links in O(N log N) closed form.
+
+    Replaces the round-1..4 level-synchronous `_converge` passes (up to
+    3 x depth full-array gather sweeps — the dominant exec cost of the 5M-tri
+    build, docs/PERF.md round 4 addendum) with one lexicographic sort plus
+    bincount/cumsum, using three structural facts about Karras radix trees:
+
+    1. Subtree triangle counts are non-decreasing along ancestor paths, so
+       "no ancestor is cuttable" == "the PARENT is not cuttable":
+       `live` needs one gather, not a root-down fixpoint.
+    2. Node ranges form a laminar family, so a live node y precedes a live
+       node x in preorder iff first_y < first_x, or first_y == first_x and
+       last_y > last_x (left-spine ancestors).  With Fc[v] = #{live:
+       first <= v} and pos = rank in the (first, last) lexicographic sort,
+       dfs(x) = Fc[first_x - 1] + (Fc[first_x] - 1 - pos(x)).
+    3. The escape target (next preorder node after x's subtree) is simply
+       the count of live nodes starting at-or-left-of x's range end:
+       escape(x) = Fc[last_x] (or -1 when that equals the live count).
 
     Returns (dfs, escape_dfs, live, is_eff_leaf):
     - live: node is reachable without passing through a cut node
@@ -241,6 +263,48 @@ def _thread_dfs(
     - dfs: preorder index among live nodes (dead nodes -> out-of-range M)
     - escape_dfs: DFS index to jump to when skipping this node's subtree
     """
+    n = (first.shape[0] + 1) // 2
+    m = 2 * n - 1
+    size = last - first + 1
+    cuttable = size <= leaf_size
+
+    live = (parent < 0) | ~cuttable[jnp.maximum(parent, 0)]
+    is_eff_leaf = live & cuttable
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    # Fc[v] = #{live nodes with first <= v}; dead nodes bucket to n (dropped).
+    fc = jnp.cumsum(
+        jnp.bincount(jnp.where(live, first, n), length=n + 1)[:n]
+    ).astype(jnp.int32)
+
+    # Rank of every live node in the (first, last) lexicographic order; dead
+    # nodes key to first = n so every live rank is a global rank.
+    f2 = jnp.where(live, first, n)
+    _, _, order = jax.lax.sort(
+        (f2, last, jnp.arange(m, dtype=jnp.int32)), num_keys=2
+    )
+    pos = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+
+    fc_lo = jnp.where(first > 0, fc[jnp.maximum(first - 1, 0)], 0)
+    dfs = jnp.where(live, fc_lo + fc[first] - 1 - pos, m).astype(jnp.int32)
+    esc_raw = fc[last]
+    esc = jnp.where(esc_raw < n_live, esc_raw, -1).astype(jnp.int32)
+    return dfs, esc, live, is_eff_leaf
+
+
+def _thread_dfs_ref(
+    left: Array,
+    right: Array,
+    parent: Array,
+    first: Array,
+    last: Array,
+    leaf_size: int,
+    max_depth: int,
+):
+    """Level-synchronous reference for `_thread_dfs` (the rounds-1..4
+    production path) — kept as the oracle (tests/unit/test_accel.py)."""
     n = (first.shape[0] + 1) // 2
     m = 2 * n - 1
     size = last - first + 1  # subtree triangle count per node

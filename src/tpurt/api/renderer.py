@@ -73,7 +73,12 @@ class Renderer:
 
     def update_scene(self, scene: Scene, rebuild_bvh: bool = True) -> None:
         """Swap scene; rebuild_bvh=False keeps topology (vertex-only edits
-        still need a refit — use InverseRenderer for that loop)."""
+        still need a refit — use InverseRenderer for that loop).
+
+        On a ring-partitioned Renderer the triangle geometry is baked into
+        the per-partition BVHs and there is no refit path, so keeping the
+        old partition while swapping shading would silently render stale
+        geometry (ADVICE r4) — the partition is always rebuilt there."""
         from tpurt.render.pipeline import tri_table
 
         self.scene = scene
@@ -81,8 +86,7 @@ class Renderer:
         if self.partition == "ring":
             kw["method"] = "ring"
             kw["mesh"] = self.mesh
-        if rebuild_bvh or (self._tracer.bvh is None
-                           and self.partition != "ring"):
+        if rebuild_bvh or self.partition == "ring" or self._tracer.bvh is None:
             self._tracer = make_tracer(scene, **kw)
         else:
             self._tracer = self._tracer.replace(

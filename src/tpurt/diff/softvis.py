@@ -65,10 +65,32 @@ def det_gate(cos_dn: Array) -> Array:
     return x * x * (3.0 - 2.0 * x)
 
 
-def coverage(u: Array, v: Array, sharpness: Array | float, valid: Array) -> Array:
-    """Soft coverage alpha in [0,1]; 0 for invalid (padding) hits."""
+def coverage(
+    u: Array, v: Array, sharpness: Array | float, valid: Array,
+    band: float = 0.0,
+) -> Array:
+    """Soft coverage alpha in [0,1]; 0 for invalid (padding) hits.
+
+    COMPACT SUPPORT (band > 0): alpha is the sigmoid multiplied by a C^1
+    smoothstep window that is exactly 0 at s <= -band and exactly 1 for
+    s >= -band/2.  Every engine culls candidates at the barycentric band
+    boundary (the `u >= -band` accept tests and the band-inflated node
+    AABBs, accel/lbvh.build_lbvh — the inflation is conservative:
+    pad = band*(|e1|+|e2|)), so a candidate can only enter/leave the
+    candidate SET where its alpha is identically zero.  The raw sigmoid
+    left alpha = sigmoid(-sharpness*band) ~ 5e-4 at that boundary, a
+    model discontinuity that made the production (BVH) path fail strict
+    finite-difference probes while the brute path (whose candidate set is
+    all triangles) passed (docs/PERF.md round 4; VERDICT r4 missing #2).
+    The window departs from 1 only where alpha <= sigmoid(-sharpness*band/2)
+    (~0.02 at the test settings), so forward images change negligibly and
+    band=0 reproduces the raw sigmoid (and hard visibility) bit-for-bit.
+    """
     s = signed_edge_distance(u, v)
     a = jax.nn.sigmoid(sharpness * s)
+    if band and band > 0.0:
+        x = jnp.clip((s + band) / (0.5 * band), 0.0, 1.0)
+        a = a * x * x * (3.0 - 2.0 * x)
     return jnp.where(valid, a, 0.0)
 
 
@@ -235,7 +257,8 @@ def soft_occlusion_from_ids(
         & (t > t_min)
         & (t < 2.0 * tmax)
     )
-    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tmax) * det_gate(cos_dn)
+    a = (coverage(u, v, sharpness, ok, band) * shadow_t_ramp(t, tmax)
+         * det_gate(cos_dn))
     return transmittance(a).reshape(rays.shape)
 
 
@@ -293,7 +316,7 @@ def soft_occlusion_layers(
         & (t > t_min)
         & (t < 2.0 * tm)
     )
-    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tm) * det_gate(cos_dn)
+    a = coverage(u, v, sharpness, ok, band) * shadow_t_ramp(t, tm) * det_gate(cos_dn)
     return transmittance(a)              # product over C -> (R, K, L)
 
 
@@ -315,5 +338,5 @@ def soft_occlusion_brute(
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1, 1), o.shape[:2]) \
         if jnp.ndim(t_max) > 0 else jnp.asarray(t_max, jnp.float32)
     t, u, v, ok, gate = _extended_tuv(o, d, tris, band, t_min, 2.0 * tmax)
-    a = coverage(u, v, sharpness, ok) * shadow_t_ramp(t, tmax) * gate
+    a = coverage(u, v, sharpness, ok, band) * shadow_t_ramp(t, tmax) * gate
     return transmittance(a).reshape(shape)

@@ -273,6 +273,44 @@ def _stack_push(stk, sp, m, push):
     return sp + jnp.where(push, jnp.int32(1), jnp.int32(0))
 
 
+# Optimal 19-comparator sorting network for 8 elements (Knuth TAOCP v3).
+_SORT8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+)
+
+
+def _ordered_pushes(stk, sp, keys, metas, pushes):
+    """Push the passing internal children in DESCENDING key order (key =
+    child-box center projected on the packet's representative ray
+    direction), so the LIFO pop walks subtrees NEAR-FIRST and the t_best
+    upper bound tightens as early as possible.  All scalar-core work: a
+    static 19-comparator sort network on (key, meta, push) triples
+    (~130 scalar ops/visit, overlapped with the next visit's vector work).
+    Non-pushed slots carry key = -inf and sink to the end; their
+    _stack_push is a no-op select."""
+    neg = jnp.float32(-3e38)
+    k = [jnp.where(p, kk, neg) for kk, p in zip(keys, pushes)]
+    m = list(metas)
+    p = list(pushes)
+    for i, j in _SORT8:
+        swap = k[i] < k[j]
+        k[i], k[j] = (jnp.where(swap, k[j], k[i]),
+                      jnp.where(swap, k[i], k[j]))
+        m[i], m[j] = (jnp.where(swap, m[j], m[i]),
+                      jnp.where(swap, m[i], m[j]))
+        p[i], p[j] = (jnp.where(swap, p[j], p[i]),
+                      jnp.where(swap, p[i], p[j]))
+    for c in range(ENTRIES):
+        sp = _stack_push(stk, sp, m[c], p[c])
+    return sp
+
+
 def _stack_pop(stk, sp):
     # Clamp the read row to the scratch extent: build_wide guarantees
     # sp <= max_stack <= STACKV (asserted in _check_stack), but an
@@ -287,11 +325,21 @@ def _stack_pop(stk, sp):
 def _check_stack(wide: WideBVH, walk: str) -> None:
     """The VMEM row stack must hold the topology's worst case: _stack_push
     clamps to STACKV-1, so overflow would silently DROP subtrees (wrong
-    hits), not crash.  max_stack == 0 is accepted for layouts built before
-    the field existed (pre-r4 pickles/tests constructing WideBVH directly)."""
-    if walk == "stack" and wide.max_stack > STACKV:
+    hits), not crash.  max_stack == 0 means the WideBVH was constructed
+    outside build_wide (tests, pre-r4 layouts) — compute the bound from the
+    topology on the fly rather than skipping the guard (ADVICE r4); only a
+    traced entry_meta (wide passed through jit) is exempt, since the bound
+    needs concrete values and jitted callers go through build_wide anyway."""
+    if walk != "stack":
+        return
+    bound = wide.max_stack
+    if bound == 0 and not isinstance(wide.entry_meta, jax.core.Tracer):
+        from tpurt.accel.bvh8 import stack_bound
+
+        bound = stack_bound(jax.device_get(wide.entry_meta))
+    if bound > STACKV:
         raise RuntimeError(
-            f"BVH8 worst-case stack occupancy {wide.max_stack} exceeds the "
+            f"BVH8 worst-case stack occupancy {bound} exceeds the "
             f"kernel stack ({STACKV} rows); rebuild with smaller fat_tris or "
             f"use walk='escape'"
         )
@@ -360,7 +408,13 @@ def _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm):
 def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                      t_o, u_o, v_o, id_o, *scratch,
                      t_min: float, sub: int, tri_in_hbm: bool,
-                     interpret: bool, stack_walk: bool):
+                     interpret: bool, stack_walk: bool,
+                     count_visits: bool = False, ordered: bool = False):
+    if count_visits:
+        vis_o, scratch = scratch[0], scratch[1:]
+        vis_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
+    else:
+        vis_o = None
     if stack_walk:
         stk, dma = scratch[0], scratch[1:]
     else:
@@ -369,6 +423,10 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
     dxv, dyv, dzv = dx[0, 0], dy[0, 0], dz[0, 0]
     ix, iy, iz = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     oix, oiy, oiz = oxv * ix, oyv * iy, ozv * iz  # slab FMA precompute
+    # Representative ray direction for near-first push ordering: the first
+    # ray of the packet (packets are morton/light-major coherent; a scalar
+    # extract is free where a tile mean-reduce costs ~200 cycles/packet).
+    kdx, kdy, kdz = dxv[0, 0], dyv[0, 0], dzv[0, 0]
     t_o[0, 0] = jnp.full((sub, LANE), T_MAX, jnp.float32)
     u_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
     v_o[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
@@ -379,6 +437,10 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
         rd, rdi = _node_row(wrow, cur)
         metas = [decode_lane_i32(rdi(48 + c)) for c in range(ENTRIES)]
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
+        if count_visits:
+            # low 16 bits: wide-node visits; high bits: leaf ROWS intersected
+            # (each row = 8 Moller-Trumbore tests over the whole tile).
+            vis_o[0, 0] = vis_o[0, 0] + 1
         if tri_in_hbm:
             _start_leaf_dmas(metas, rows, row_s, sem)
         bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, t_o[0, 0],
@@ -400,6 +462,8 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
             for r in range(R_MAX_ROWS):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
+                    if count_visits:
+                        vis_o[0, 0] = vis_o[0, 0] + (1 << 16)
                     trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     t_b, u_b = t_o[0, 0], u_o[0, 0]
@@ -429,9 +493,21 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                     u_o[0, 0] = u_b
                     v_o[0, 0] = v_b
                     id_o[0, 0] = id_b
-            if stack_walk:
+            if stack_walk and not ordered:
                 push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
                 sp = _stack_push(stk, sp, m, push)
+        if stack_walk and ordered:
+            keys = [
+                (rd(6 * c) + rd(6 * c + 3)) * kdx
+                + (rd(6 * c + 1) + rd(6 * c + 4)) * kdy
+                + (rd(6 * c + 2) + rd(6 * c + 5)) * kdz
+                for c in range(ENTRIES)
+            ]
+            pushes = [
+                (((bits >> (c + 1)) & 1) > 0) & (metas[c] >= 0)
+                for c in range(ENTRIES)
+            ]
+            sp = _ordered_pushes(stk, sp, keys, metas, pushes)
         return bits, esc, has_i, sp
 
     _run_walk(visit, stack_walk, stk)
@@ -444,17 +520,23 @@ def traverse_pallas8(
     t_min: float = DEFAULT_T_MIN,
     sub: int | None = None,
     walk: str = DEFAULT_WALK,
+    count_visits: bool = False,
+    ordered: bool = False,
 ) -> Hit:
     """Closest hit via the BVH8 walk (VMEM- or HBM-triangle tier).
 
     walk='escape': stackless escape threading (visits failing internal
     children once each).  walk='stack': VMEM row stack — skips failing
-    subtrees entirely at the cost of a push/pop pair per internal child."""
+    subtrees entirely at the cost of a push/pop pair per internal child.
+    count_visits=True additionally returns a (P,) int32 per-packet counter
+    (low 16 bits: wide-node visits, high bits: leaf rows intersected) — the
+    tree-quality metric driving the collapse/ordering work (VERDICT r4
+    next #1a); the counter adds one (sub, 128) i32 add per visit."""
     plan = plan8(wide)
     if plan is None:
         raise RuntimeError(
             f"traverse_pallas8: wide rows ({wide_bytes(wide)} B) exceed the "
-            f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+            f"VMEM budget ({VMEM_BUDGET8_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
     _check_stack(wide, walk)
@@ -464,25 +546,30 @@ def traverse_pallas8(
     tile = jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.float32)
     itile = jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32)
     interp = _interpret()
-    t, u, v, tid = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_closest8_kernel, t_min=t_min, sub=sub,
                           tri_in_hbm=tri_in_hbm, interpret=interp,
-                          stack_walk=walk == "stack"),
+                          stack_walk=walk == "stack",
+                          count_visits=count_visits, ordered=ordered),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
-        out_specs=[_ray_spec(sub, 1)] * 4,
-        out_shape=[tile, tile, tile, itile],
+        out_specs=[_ray_spec(sub, 1)] * (5 if count_visits else 4),
+        out_shape=[tile, tile, tile, itile] + ([itile] if count_visits else []),
         scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
         compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
+    t, u, v, tid = out[:4]
     shape = rays.shape
-    return Hit(
+    hit = Hit(
         t=t.reshape(-1)[:n].reshape(shape),
         u=u.reshape(-1)[:n].reshape(shape),
         v=v.reshape(-1)[:n].reshape(shape),
         tri=tid.reshape(-1)[:n].reshape(shape),
     )
+    if count_visits:
+        return hit, out[4][:, 0, 0, 0]  # every lane holds the same counter
+    return hit
 
 
 # ---------------------------------------------------------------------------
@@ -577,7 +664,7 @@ def occluded_pallas8(
     if plan is None:
         raise RuntimeError(
             f"occluded_pallas8: wide rows ({wide_bytes(wide)} B) exceed the "
-            f"VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+            f"VMEM budget ({VMEM_BUDGET8_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
     _check_stack(wide, walk)
@@ -715,7 +802,7 @@ def k_nearest_ids_pallas8(
     if plan is None:
         raise RuntimeError(
             f"k_nearest_ids_pallas8: wide rows ({wide_bytes(wide)} B) exceed "
-            f"the VMEM budget ({VMEM_BUDGET_BYTES}); use the packet engine"
+            f"the VMEM budget ({VMEM_BUDGET8_BYTES}); use the packet engine"
         )
     (tri_in_hbm,) = plan
     _check_stack(wide, walk)

@@ -525,7 +525,7 @@ def _render_soft(
     rk = Rays(o=rays.o[:, None, :], d=rays.d[:, None, :])
     _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
         rk, tracer.table, ids)
-    alphas = coverage(u, v, sharpness, valid) * det_gate(cos_dn)  # (R, K)
+    alphas = coverage(u, v, sharpness, valid, band) * det_gate(cos_dn)  # (R, K)
     R = ids.shape[0]
     L = scene.lights.pos.shape[0]
     o_surf = p + SHADOW_EPS * n                    # (R, K, 3)

@@ -268,3 +268,31 @@ def test_range_minmax_sparse_matches_levelsync():
         lo, hi = range_minmax_sparse(tlo, thi, bvh.first, bvh.last)
         np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
         np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
+
+
+@pytest.mark.parametrize("n,leaf_size,seed", [
+    (2, 1, 0), (3, 1, 1), (17, 4, 2), (256, 8, 3), (1000, 8, 4), (1000, 16, 5),
+])
+def test_thread_dfs_closed_form_matches_levelsync(n, leaf_size, seed):
+    """The O(sort) treelet-cut/DFS/escape formulas (accel/lbvh._thread_dfs)
+    must be BITWISE identical to the level-synchronous reference on random
+    trees, including trees with duplicate Morton codes."""
+    from tpurt.accel.lbvh import _thread_dfs, _thread_dfs_ref
+
+    rng = np.random.default_rng(seed)
+    codes = jnp.asarray(
+        np.sort(rng.integers(0, 2**30 if seed != 4 else 64, n, np.uint32))
+    )
+    left, right, parent, first, last = build_radix_tree(codes)
+    args = (left, right, parent, first, last, leaf_size, 128)
+    got = _thread_dfs(*args)
+    ref = _thread_dfs_ref(*args)
+    for g, r, name in zip(got, ref, ("dfs", "esc", "live", "is_eff_leaf")):
+        g, r = np.asarray(g), np.asarray(r)
+        if name == "esc":
+            # reference leaves esc of dead nodes at whatever the converge
+            # wrote; only live nodes' escapes are ever read
+            liv = np.asarray(ref[2])
+            np.testing.assert_array_equal(g[liv], r[liv], err_msg=name)
+        else:
+            np.testing.assert_array_equal(g, r, err_msg=name)

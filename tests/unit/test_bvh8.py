@@ -176,6 +176,14 @@ def test_collapse_vectorized_matches_serial(n):
     ref = _collapse8_serial(left, right, first, last)
     for g, r, name in zip(got, ref, ("en", "em", "own", "esc", "has_int")):
         np.testing.assert_array_equal(g, r, err_msg=name)
+    # and with the SAH (surface-area) split priority (the production rule)
+    from tpurt.accel.bvh8 import node_areas
+
+    area = node_areas(*jax.device_get((bvh.node_lo, bvh.node_hi)))
+    got = collapse8(left, right, first, last, priority=area)
+    ref = _collapse8_serial(left, right, first, last, priority=area)
+    for g, r, name in zip(got, ref, ("en", "em", "own", "esc", "has_int")):
+        np.testing.assert_array_equal(g, r, err_msg="area:" + name)
 
 
 def test_stack_bound_covers_kernel_stack():
