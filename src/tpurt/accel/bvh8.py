@@ -117,8 +117,13 @@ class WideBVH(struct.PyTreeNode):
     """Traversal-ready 8-wide BVH (DFS order, escape-threaded).
 
     wrow:       (ceil(W/2) padded to 8, 128) f32 — packed wide-node rows.
-    tri_rows:   (ceil(N/8) + pad, 128) f32 — universal sorted-order
-                triangle rows (+ zero pad rows so leaf DMAs may overshoot).
+    tri_rows:   (R + pad, 128) f32 — LEAF-ALIGNED triangle rows: every fat
+                leaf owns ceil(count/8) dedicated rows (allocated in DFS
+                entry order), so a leaf fetch reads exactly its own
+                triangles — no out-of-leaf boundary tris, ~30% fewer rows
+                per packet than the round-3/4 global 8-partition (measured,
+                docs/PERF.md round 5) at the cost of ~1.4x row storage.
+                Zero pad rows let leaf DMAs overshoot.
     entry_node: (W, 8) i32 — raw binary node id per entry (-1 empty); the
                 refit path regathers entry boxes from the refit BVH through
                 this (frozen) topology.
@@ -126,7 +131,7 @@ class WideBVH(struct.PyTreeNode):
     own_node:   (W,) i32 — the wide node's anchor (raw binary node id).
     escape:     (W,) i32 — DFS escape wide id (-1 terminates).
     has_int:    (W,) i32 — 1 when the wide node has internal children.
-    row_tids:   (ceil(N/8), 8) i32 — original tri id per row slot (-1 pad);
+    row_tids:   (R, 8) i32 — original tri id per row slot (-1 pad);
                 the refit path regathers row vertices through this.
     """
 
@@ -142,6 +147,10 @@ class WideBVH(struct.PyTreeNode):
     # worst-case 'stack'-walk occupancy of this (frozen) topology — computed
     # host-side at build, asserted <= STACKV by kernels/traverse8 (ADVICE r3)
     max_stack: int = struct.field(pytree_node=False, default=0)
+    # max rows any fat leaf spans (= ceil(fat_tris / 8) once aligned): the
+    # kernels' static leaf-loop/DMA extent.  3 = the pre-alignment cap, kept
+    # as the safe default for hand-built layouts.
+    max_rows: int = struct.field(pytree_node=False, default=R_MAX_ROWS)
 
     @property
     def num_wides(self) -> int:
@@ -410,6 +419,42 @@ def collapse8(
     return en, em, own, esc, has_int
 
 
+def align_leaf_rows(
+    en: np.ndarray, em: np.ndarray, first: np.ndarray, last: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rewrite fat-leaf metas onto LEAF-ALIGNED triangle rows (host, numpy).
+
+    The round-3/4 layout referenced the fixed 8-partition of the sorted
+    triangles, so a leaf spanning [first, last] also intersected the
+    boundary-row triangles outside its range — harmless (superset-invariant
+    selection) but ~40% wasted Möller–Trumbore work per row at fat=8, and
+    the leaf phase is ~60% of the closest walk (docs/PERF.md round 5).
+    Here every leaf entry gets its own ceil(count/8) rows, allocated in
+    (DFS wide id, entry) scan order; row j of a leaf covers sorted
+    positions [first + 8j, min(first + 8j + 8, last + 1)).
+
+    Returns (em_aligned, row_first (R,) i32 sorted-space row starts,
+    row_len (R,) i32 live-triangle counts per row).
+    """
+    is_leaf = em < 0
+    wi, ei = np.nonzero(is_leaf)  # row-major == DFS entry order
+    nd = en[wi, ei].astype(np.int64)
+    f = first[nd].astype(np.int64)
+    count = last[nd].astype(np.int64) - f + 1
+    nrows = -(-count // TRIS_PER_ROW)
+    row0 = np.cumsum(nrows) - nrows
+    em2 = em.copy()
+    em2[wi, ei] = (~((row0 << 3) | (nrows - 1))).astype(np.int32)
+    r_total = int(nrows.sum())
+    leaf_of_row = np.repeat(np.arange(nrows.size), nrows)
+    j_in_leaf = np.arange(r_total) - np.repeat(row0, nrows)
+    row_first = (f[leaf_of_row] + TRIS_PER_ROW * j_in_leaf).astype(np.int32)
+    row_len = np.minimum(
+        count[leaf_of_row] - TRIS_PER_ROW * j_in_leaf, TRIS_PER_ROW
+    ).astype(np.int32)
+    return em2, row_first, row_len
+
+
 def stack_bound(entry_meta: np.ndarray) -> int:
     """Worst-case VMEM-stack occupancy of the 'stack' walk for a collapsed
     topology, assuming every pushed subtree stays live.  sp peaks at
@@ -506,15 +551,20 @@ def pack_wide(
     own_node: Array,
     escape: Array,
     has_int: Array,
+    row_first: Array,
+    row_len: Array,
 ) -> WideBVH:
-    """Assemble the device arrays for a collapsed topology (jittable)."""
+    """Assemble the device arrays for a collapsed topology (jittable).
+
+    row_first/row_len: leaf-aligned row map from `align_leaf_rows` —
+    row r holds sorted triangles [row_first[r], row_first[r] + row_len[r])."""
     nt = bvh.tri_order.shape[0]
-    r = -(-nt // TRIS_PER_ROW)
-    s = jnp.arange(r * TRIS_PER_ROW)
-    inr = s < nt
+    j = jnp.arange(TRIS_PER_ROW)[None, :]
+    s = row_first[:, None] + j
+    inr = j < row_len[:, None]
     row_tids = jnp.where(
-        inr, bvh.tri_order[jnp.minimum(s, nt - 1)], -1
-    ).reshape(r, TRIS_PER_ROW).astype(jnp.int32)
+        inr, bvh.tri_order[jnp.clip(s, 0, nt - 1)], -1
+    ).astype(jnp.int32)
     return WideBVH(
         wrow=_assemble_wrow(bvh.node_lo, bvh.node_hi, entry_node, entry_meta,
                             own_node, escape, has_int),
@@ -582,11 +632,14 @@ def build_wide(
         np.asarray(left), np.asarray(right),
         np.asarray(first), np.asarray(last), fat_tris, priority,
     )
+    em, row_first, row_len = align_leaf_rows(
+        en, em, np.asarray(first), np.asarray(last)
+    )
     # Lane-codec range guard (ADVICE r3): wrapped encodings would decode to
     # wrong leaf rows / tri ids with no error.  Metas dominate: a fat-leaf
-    # meta is ~((row0 << 3) | ...) ~= -(num_tris), and LANE_MIN is -2^25+1,
-    # so the real codec ceiling is ~33.5M tris (ADVICE r4: an earlier note
-    # overstated this 8x; the runtime check below is the actual authority).
+    # meta is ~((row0 << 3) | ...) ~= -(8 * num_rows), rows ~= tris/5.5
+    # aligned, and LANE_MIN is -2^25+1, so the codec ceiling is ~23M tris
+    # (the runtime check below is the actual authority).
     n_tris = int(tris.num_tris)
     for name, arr in (("entry_meta", em), ("escape", esc), ("tri_id", n_tris - 1)):
         a = np.asarray(arr)
@@ -598,7 +651,11 @@ def build_wide(
     return jax.jit(pack_wide)(
         tris, bvh, jnp.asarray(en), jnp.asarray(em), jnp.asarray(own),
         jnp.asarray(esc), jnp.asarray(has_int),
-    ).replace(max_stack=stack_bound(em))
+        jnp.asarray(row_first), jnp.asarray(row_len),
+    ).replace(
+        max_stack=stack_bound(em),
+        max_rows=int(-(-fat_tris // TRIS_PER_ROW)),
+    )
 
 
 def refit_wide(wide: WideBVH, bvh: BVH, tris: Triangles) -> WideBVH:

@@ -210,15 +210,15 @@ def _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper, interpret,
     return _or_reduce_bits(hitm, interpret)
 
 
-def _leaf_dma(rows, row_s, sem, c, row0):
+def _leaf_dma(rows, row_s, sem, c, row0, max_rows):
     return pltpu.make_async_copy(
-        rows.at[pl.ds(row0, R_MAX_ROWS), :],
-        row_s.at[pl.ds(c * R_MAX_ROWS, R_MAX_ROWS), :],
+        rows.at[pl.ds(row0, max_rows), :],
+        row_s.at[pl.ds(c * max_rows, max_rows), :],
         sem.at[c],
     )
 
 
-def _start_leaf_dmas(metas, rows, row_s, sem):
+def _start_leaf_dmas(metas, rows, row_s, sem, max_rows):
     """Kick off the fat-leaf row copies for EVERY leaf child, before the
     slab phase even runs: the copies then overlap the visit's ~1 us of
     vector work instead of serializing after it (measured: the HBM tier
@@ -231,7 +231,8 @@ def _start_leaf_dmas(metas, rows, row_s, sem):
 
         @pl.when(m < 0)
         def _(c=c, m=m):
-            _leaf_dma(rows, row_s, sem, c, jnp.maximum((~m) >> 3, 0)).start()
+            _leaf_dma(rows, row_s, sem, c, jnp.maximum((~m) >> 3, 0),
+                      max_rows).start()
 
 
 def _next_cursor(cur, bits, esc, has_i):
@@ -248,18 +249,18 @@ def _wide_specs(tri_in_hbm: bool):
     ]
 
 
-def _dma_scratch(tri_in_hbm: bool):
+def _dma_scratch(tri_in_hbm: bool, max_rows: int):
     if not tri_in_hbm:
         return []
     return [
-        pltpu.VMEM((ENTRIES * R_MAX_ROWS, LANE), jnp.float32),
+        pltpu.VMEM((ENTRIES * max_rows, LANE), jnp.float32),
         pltpu.SemaphoreType.DMA((ENTRIES,)),
     ]
 
 
-def _walk_scratch(stack_walk: bool, tri_in_hbm: bool):
+def _walk_scratch(stack_walk: bool, tri_in_hbm: bool, max_rows: int):
     stk = [pltpu.VMEM((STACKV, LANE), jnp.int32)] if stack_walk else []
-    return stk + _dma_scratch(tri_in_hbm)
+    return stk + _dma_scratch(tri_in_hbm, max_rows)
 
 
 def _stack_push(stk, sp, m, push):
@@ -395,10 +396,10 @@ def _prep(rays: Rays, wide: WideBVH, sub: int, *extra):
     return rays, wide, comps, p, n
 
 
-def _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm):
+def _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm, max_rows):
     """The (128,) f32 triangle row for slot r of leaf child c."""
     if tri_in_hbm:
-        return row_s[c * R_MAX_ROWS + r, :]
+        return row_s[c * max_rows + r, :]
     return rows[row0 + r, :]
 
 
@@ -409,6 +410,7 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                      t_o, u_o, v_o, id_o, *scratch,
                      t_min: float, sub: int, tri_in_hbm: bool,
                      interpret: bool, stack_walk: bool,
+                     max_rows: int = R_MAX_ROWS,
                      count_visits: bool = False, ordered: bool = False):
     if count_visits:
         vis_o, scratch = scratch[0], scratch[1:]
@@ -442,7 +444,7 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
             # (each row = 8 Moller-Trumbore tests over the whole tile).
             vis_o[0, 0] = vis_o[0, 0] + 1
         if tri_in_hbm:
-            _start_leaf_dmas(metas, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem, max_rows)
         bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, t_o[0, 0],
                            interpret, stack_walk)
         for c in range(ENTRIES):
@@ -458,13 +460,13 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                 # balance EVERY started copy (starts are mask-independent)
                 @pl.when(m < 0)
                 def _(c=c, row0=row0):
-                    _leaf_dma(rows, row_s, sem, c, row0).wait()
-            for r in range(R_MAX_ROWS):
+                    _leaf_dma(rows, row_s, sem, c, row0, max_rows).wait()
+            for r in range(max_rows):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
                     if count_visits:
                         vis_o[0, 0] = vis_o[0, 0] + (1 << 16)
-                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm, max_rows)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     t_b, u_b = t_o[0, 0], u_o[0, 0]
                     v_b, id_b = v_o[0, 0], id_o[0, 0]
@@ -549,13 +551,14 @@ def traverse_pallas8(
     out = pl.pallas_call(
         functools.partial(_closest8_kernel, t_min=t_min, sub=sub,
                           tri_in_hbm=tri_in_hbm, interpret=interp,
-                          stack_walk=walk == "stack",
+                          stack_walk=walk == "stack", max_rows=wide.max_rows,
                           count_visits=count_visits, ordered=ordered),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
         out_specs=[_ray_spec(sub, 1)] * (5 if count_visits else 4),
         out_shape=[tile, tile, tile, itile] + ([itile] if count_visits else []),
-        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
+        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm,
+                                     wide.max_rows),
         compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
@@ -577,7 +580,8 @@ def traverse_pallas8(
 # ---------------------------------------------------------------------------
 def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
                       *scratch, t_min: float, sub: int, tri_in_hbm: bool,
-                      interpret: bool, stack_walk: bool):
+                      interpret: bool, stack_walk: bool,
+                      max_rows: int = R_MAX_ROWS):
     if stack_walk:
         stk, dma = scratch[0], scratch[1:]
     else:
@@ -604,7 +608,7 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
         live = alive0 & (blk_o[0, 0] == 0)
         upper = jnp.where(live, tmax, t_min - 1.0)
         if tri_in_hbm:
-            _start_leaf_dmas(metas, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem, max_rows)
         bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper,
                            interpret, stack_walk,
                            live=live if stack_walk else None)
@@ -617,11 +621,11 @@ def _occluded8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, blk_o,
                 # balance EVERY started copy (starts are mask-independent)
                 @pl.when(m < 0)
                 def _(c=c, row0=row0):
-                    _leaf_dma(rows, row_s, sem, c, row0).wait()
-            for r in range(R_MAX_ROWS):
+                    _leaf_dma(rows, row_s, sem, c, row0, max_rows).wait()
+            for r in range(max_rows):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm, max_rows)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     blocked = blk_o[0, 0] > 0
                     for j in range(8):
@@ -679,12 +683,13 @@ def occluded_pallas8(
     blk = pl.pallas_call(
         functools.partial(_occluded8_kernel, t_min=t_min, sub=sub,
                           tri_in_hbm=tri_in_hbm, interpret=interp,
-                          stack_walk=walk == "stack"),
+                          stack_walk=walk == "stack", max_rows=wide.max_rows),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
         out_specs=_ray_spec(sub, 1),
         out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
-        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm),
+        scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm,
+                                     wide.max_rows),
         compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
@@ -696,7 +701,8 @@ def occluded_pallas8(
 # ---------------------------------------------------------------------------
 def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
                    *scratch, t_min: float, k: int, band: float, sub: int,
-                   tri_in_hbm: bool, interpret: bool, stack_walk: bool):
+                   tri_in_hbm: bool, interpret: bool, stack_walk: bool,
+                   max_rows: int = R_MAX_ROWS):
     if stack_walk:
         stk, dma = scratch[0], scratch[1:]
     else:
@@ -736,7 +742,7 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
         esc, has_i = decode_lane_i32(rdi(62)), decode_lane_i32(rdi(63))
         upper = jnp.minimum(ts_s[k - 1], tmax)
         if tri_in_hbm:
-            _start_leaf_dmas(metas, rows, row_s, sem)
+            _start_leaf_dmas(metas, rows, row_s, sem, max_rows)
         bits = _visit_mask(rd, oix, oiy, oiz, ix, iy, iz, t_min, upper,
                            interpret, stack_walk)
         for c in range(ENTRIES):
@@ -748,11 +754,11 @@ def _knear8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz, tm, ids_o, ts_s,
                 # balance EVERY started copy (starts are mask-independent)
                 @pl.when(m < 0)
                 def _(c=c, row0=row0):
-                    _leaf_dma(rows, row_s, sem, c, row0).wait()
-            for r in range(R_MAX_ROWS):
+                    _leaf_dma(rows, row_s, sem, c, row0, max_rows).wait()
+            for r in range(max_rows):
                 @pl.when(hit_c & (m < 0) & (r < n_rows))
                 def _(c=c, r=r, row0=row0):
-                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm)
+                    trow = _leaf_rows(rows, row_s, c, r, row0, tri_in_hbm, max_rows)
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     ts = [ts_s[i] for i in range(k)]
                     ids = [ids_o[0, 0, i] for i in range(k)]
@@ -821,7 +827,7 @@ def k_nearest_ids_pallas8(
     ids = pl.pallas_call(
         functools.partial(_knear8_kernel, t_min=t_min, k=k, band=band,
                           sub=sub, tri_in_hbm=tri_in_hbm, interpret=interp,
-                          stack_walk=walk == "stack"),
+                          stack_walk=walk == "stack", max_rows=wide.max_rows),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 7,
         out_specs=pl.BlockSpec(
@@ -830,7 +836,7 @@ def k_nearest_ids_pallas8(
         ),
         out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((k, sub, LANE), jnp.float32)]
-        + _walk_scratch(walk == "stack", tri_in_hbm),
+        + _walk_scratch(walk == "stack", tri_in_hbm, wide.max_rows),
         compiler_params=_compiler_params(wide, tri_in_hbm),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
