@@ -489,7 +489,13 @@ def stack_bound(entry_meta: np.ndarray) -> int:
 
 def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
     """(R, 8) tri ids -> (R + R_MAX_ROWS, 128) packed rows (jittable; the
-    refit path after vertices moved)."""
+    refit path after vertices moved).
+
+    Lane map per row: 9j..9j+8 = tri j's (v0, e1, e2); 72+j = tri id
+    (lane codec); 80+3j = albedo; 104+3j = emission.  The shading lanes let
+    the closest kernel emit per-hit shading attributes directly
+    (shade_out), replacing the hard render's per-ray (R, 15) table-row
+    gather (~8 ns/row, 17 ms/frame at 2M rays — docs/PERF.md round 5)."""
     r = row_tids.shape[0]
     ok = row_tids >= 0
     g = jnp.maximum(row_tids, 0)
@@ -499,9 +505,9 @@ def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
     te2 = jnp.where(ok[..., None], v2[g] - v0[g], 0.0)
     dat = jnp.concatenate([tv0, te1, te2], axis=-1).reshape(r, 72)
     idf = encode_lane_i32(row_tids)  # (R, 8), denormal-safe encoding
-    rows = jnp.concatenate(
-        [dat, idf, jnp.zeros((r, 128 - 80), jnp.float32)], axis=-1
-    )
+    alb = jnp.where(ok[..., None], tris.albedo[g], 0.0).reshape(r, 24)
+    emi = jnp.where(ok[..., None], tris.emission[g], 0.0).reshape(r, 24)
+    rows = jnp.concatenate([dat, idf, alb, emi], axis=-1)
     # Overshoot pad: a fat-leaf DMA always copies R_MAX_ROWS rows; rows past
     # n_rows are skipped by the kernel and pad rows are all-zero (det == 0
     # fails Möller-Trumbore for every ray).  Then round up to a full

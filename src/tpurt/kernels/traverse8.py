@@ -368,20 +368,36 @@ def _run_walk(visit, stack_walk: bool, stk):
 _MOSAIC_DEFAULT_VMEM = 16 * 1024 * 1024
 
 
-def _compiler_params(wide: WideBVH, tri_in_hbm: bool):
+def _compiler_params(wide: WideBVH, tri_in_hbm: bool, io_tiles: int = 0,
+                     sub: int = 0):
     # vmem_limit_bytes: Mosaic's default scoped-VMEM limit is 16 MB — a
     # compiler default, not hardware (v5e has 128 MB).  The 5M-tri config's
     # wide-node rows are ~45 MB and must be VMEM-resident for dynamic row
     # loads (BASELINE.json:11).  Raise the limit ONLY when the resident
-    # arrays actually exceed the default: a blanket raise changes Mosaic's
-    # allocation strategy for small layouts too and cost the 1M VMEM tier
-    # ~2x (32.8M -> 17.9M rays/s, measured on v5e — docs/PERF.md round 4).
+    # arrays + double-buffered I/O tiles actually exceed the default: a
+    # blanket raise changes Mosaic's allocation strategy for small layouts
+    # too and cost the 1M VMEM tier ~2x (32.8M -> 17.9M rays/s, measured on
+    # v5e — docs/PERF.md round 4).  io_tiles counts the kernel's (sub, 128)
+    # in+out blocks: the shade_out variant's 13 outputs overflowed the
+    # default by <1 MB at the 1M HBM tier (round 5).
     need = wide_bytes(wide) + (0 if tri_in_hbm else tri_rows_bytes(wide))
     need += 4 * _SCRATCH_HEADROOM
-    if need <= _MOSAIC_DEFAULT_VMEM:
+    # Mosaic keeps ~4 buffers per streamed block (in/out pipelining);
+    # measured: the 13-output shade variant needs 16.96 MB at the 1M HBM
+    # tier while the 10-block plain closest fits the 16 MB default.
+    need += 4 * io_tiles * sub * LANE * 4
+    # The estimate runs ~5-10% under Mosaic's true scoped allocation when
+    # the kernel sits in a larger XLA module (measured: the plain closest
+    # kernel wants 16.12 MB inside the fused render graph but compiled
+    # standalone at the 16 MB default), so trigger the raise with 10%
+    # headroom rather than at the exact default.
+    if need + need // 10 <= _MOSAIC_DEFAULT_VMEM:
         return pltpu.CompilerParams(dimension_semantics=("parallel",))
-    return pltpu.CompilerParams(dimension_semantics=("parallel",),
-                                vmem_limit_bytes=110 * 1024 * 1024)
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",),
+        vmem_limit_bytes=min(max(need + need // 4, 24 * 1024 * 1024),
+                             110 * 1024 * 1024),
+    )
 
 
 def _prep(rays: Rays, wide: WideBVH, sub: int, *extra):
@@ -411,12 +427,23 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                      t_min: float, sub: int, tri_in_hbm: bool,
                      interpret: bool, stack_walk: bool,
                      max_rows: int = R_MAX_ROWS,
-                     count_visits: bool = False, ordered: bool = False):
+                     count_visits: bool = False, ordered: bool = False,
+                     shade_out: bool = False):
     if count_visits:
         vis_o, scratch = scratch[0], scratch[1:]
         vis_o[0, 0] = jnp.zeros((sub, LANE), jnp.int32)
     else:
         vis_o = None
+    if shade_out:
+        # 9 shading outputs: albedo, emission, geometric normal (unnormal-
+        # ized e1 x e2) of the winning triangle — selected alongside the
+        # (t, u, v, id) accumulators so the hard render needs NO per-ray
+        # table-row gather afterwards (docs/PERF.md round 5).
+        sh_o, scratch = list(scratch[:9]), scratch[9:]
+        for ref in sh_o:
+            ref[0, 0] = jnp.zeros((sub, LANE), jnp.float32)
+    else:
+        sh_o = None
     if stack_walk:
         stk, dma = scratch[0], scratch[1:]
     else:
@@ -470,6 +497,8 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                     trowi = jax.lax.bitcast_convert_type(trow, jnp.int32)
                     t_b, u_b = t_o[0, 0], u_o[0, 0]
                     v_b, id_b = v_o[0, 0], id_o[0, 0]
+                    if shade_out:
+                        sh_b = [ref[0, 0] for ref in sh_o]
                     for j in range(8):
                         t, u, v, det = _mt_scalar_tri(
                             oxv, oyv, ozv, dxv, dyv, dzv, trow, 9 * j
@@ -491,10 +520,29 @@ def _closest8_kernel(wrow, rows, ox, oy, oz, dx, dy, dz,
                         u_b = jnp.where(ok, u, u_b)
                         v_b = jnp.where(ok, v, v_b)
                         id_b = jnp.where(ok, tid, id_b)
+                        if shade_out:
+                            e1x, e1y, e1z = (trow[9 * j + 3], trow[9 * j + 4],
+                                             trow[9 * j + 5])
+                            e2x, e2y, e2z = (trow[9 * j + 6], trow[9 * j + 7],
+                                             trow[9 * j + 8])
+                            vals = (
+                                trow[80 + 3 * j], trow[81 + 3 * j],
+                                trow[82 + 3 * j],
+                                trow[104 + 3 * j], trow[105 + 3 * j],
+                                trow[106 + 3 * j],
+                                e1y * e2z - e1z * e2y,
+                                e1z * e2x - e1x * e2z,
+                                e1x * e2y - e1y * e2x,
+                            )
+                            sh_b = [jnp.where(ok, vv, bb)
+                                    for vv, bb in zip(vals, sh_b)]
                     t_o[0, 0] = t_b
                     u_o[0, 0] = u_b
                     v_o[0, 0] = v_b
                     id_o[0, 0] = id_b
+                    if shade_out:
+                        for ref, bb in zip(sh_o, sh_b):
+                            ref[0, 0] = bb
             if stack_walk and not ordered:
                 push = (((bits >> (c + 1)) & 1) > 0) & (m >= 0)
                 sp = _stack_push(stk, sp, m, push)
@@ -524,6 +572,7 @@ def traverse_pallas8(
     walk: str = DEFAULT_WALK,
     count_visits: bool = False,
     ordered: bool = False,
+    shade_out: bool = False,
 ) -> Hit:
     """Closest hit via the BVH8 walk (VMEM- or HBM-triangle tier).
 
@@ -533,7 +582,12 @@ def traverse_pallas8(
     count_visits=True additionally returns a (P,) int32 per-packet counter
     (low 16 bits: wide-node visits, high bits: leaf rows intersected) — the
     tree-quality metric driving the collapse/ordering work (VERDICT r4
-    next #1a); the counter adds one (sub, 128) i32 add per visit."""
+    next #1a); the counter adds one (sub, 128) i32 add per visit.
+    shade_out=True additionally returns (albedo (N,3), emission (N,3),
+    normal (N,3) unnormalized geometric) of each winning triangle, selected
+    in-kernel from the shading lanes of the leaf rows — the hard render
+    then needs no per-ray table gather (the ~17 ms/frame stage at 1M tris,
+    docs/PERF.md round 5)."""
     plan = plan8(wide)
     if plan is None:
         raise RuntimeError(
@@ -552,14 +606,20 @@ def traverse_pallas8(
         functools.partial(_closest8_kernel, t_min=t_min, sub=sub,
                           tri_in_hbm=tri_in_hbm, interpret=interp,
                           stack_walk=walk == "stack", max_rows=wide.max_rows,
-                          count_visits=count_visits, ordered=ordered),
+                          count_visits=count_visits, ordered=ordered,
+                          shade_out=shade_out),
         grid=(p,),
         in_specs=_wide_specs(tri_in_hbm) + [_ray_spec(sub, 1)] * 6,
-        out_specs=[_ray_spec(sub, 1)] * (5 if count_visits else 4),
-        out_shape=[tile, tile, tile, itile] + ([itile] if count_visits else []),
+        out_specs=[_ray_spec(sub, 1)]
+        * (4 + int(count_visits) + 9 * int(shade_out)),
+        out_shape=[tile, tile, tile, itile]
+        + ([itile] if count_visits else [])
+        + [tile] * (9 if shade_out else 0),
         scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm,
                                      wide.max_rows),
-        compiler_params=_compiler_params(wide, tri_in_hbm),
+        compiler_params=_compiler_params(
+            wide, tri_in_hbm,
+            io_tiles=10 + int(count_visits) + 9 * int(shade_out), sub=sub),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz)
     t, u, v, tid = out[:4]
@@ -570,8 +630,20 @@ def traverse_pallas8(
         v=v.reshape(-1)[:n].reshape(shape),
         tri=tid.reshape(-1)[:n].reshape(shape),
     )
+    extras = []
+    k = 4
     if count_visits:
-        return hit, out[4][:, 0, 0, 0]  # every lane holds the same counter
+        extras.append(out[k][:, 0, 0, 0])  # every lane holds the counter
+        k += 1
+    if shade_out:
+        def vec3(i):
+            return jnp.stack(
+                [out[k + i + c].reshape(-1)[:n] for c in range(3)], axis=-1
+            ).reshape(*shape, 3)
+
+        extras.append((vec3(0), vec3(3), vec3(6)))  # albedo, emission, nrm
+    if extras:
+        return (hit, *extras)
     return hit
 
 
@@ -690,7 +762,8 @@ def occluded_pallas8(
         out_shape=jax.ShapeDtypeStruct((p, 1, sub, LANE), jnp.int32),
         scratch_shapes=_walk_scratch(walk == "stack", tri_in_hbm,
                                      wide.max_rows),
-        compiler_params=_compiler_params(wide, tri_in_hbm),
+        compiler_params=_compiler_params(wide, tri_in_hbm, io_tiles=8,
+                                         sub=sub),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
     return (blk.reshape(-1)[:n] > 0).reshape(shape)
@@ -837,7 +910,8 @@ def k_nearest_ids_pallas8(
         out_shape=jax.ShapeDtypeStruct((p, 1, k, sub, LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((k, sub, LANE), jnp.float32)]
         + _walk_scratch(walk == "stack", tri_in_hbm, wide.max_rows),
-        compiler_params=_compiler_params(wide, tri_in_hbm),
+        compiler_params=_compiler_params(wide, tri_in_hbm, io_tiles=7 + 2 * k,
+                                         sub=sub),
         interpret=interp,
     )(wide.wrow, wide.tri_rows, ox, oy, oz, dx, dy, dz, tm)
     # (p, 1, k, sub, 128) -> (p*sub*128, k)

@@ -162,6 +162,21 @@ class Tracer(struct.PyTreeNode):
             )
         raise ValueError(self.method)
 
+    def closest_shaded(self, rays: Rays):
+        """(Hit, shade) where shade = (albedo, emission, raw normal) per ray
+        straight from the traversal kernel, or None when the engine cannot
+        emit them.  The BVH8 kernel selects the winning triangle's shading
+        lanes during the walk, so the hard render skips the per-ray
+        (R, 15) table-row gather entirely (~17 ms of a 62 ms 1080p frame at
+        1M tris — docs/PERF.md round 5)."""
+        if self.method == "pallas8":
+            from tpurt.kernels.traverse8 import traverse_pallas8
+
+            return traverse_pallas8(
+                rays, self.scene.tris, self.wide, shade_out=True
+            )
+        return self.closest(rays), None
+
     # -- K nearest extended hits (soft/differentiable path) ---------------
     def k_nearest(self, rays: Rays, k: int, band: float) -> KHits:
         if self.method == "ring":
@@ -401,16 +416,29 @@ def _shade_layer(
     valid: Array,
     light_samples: int = 0,
     key: Array | None = None,
+    hit: Hit | None = None,
+    shade=None,
 ):
     """Shade the closest-hit layer with HARD shadow rays; returns color (R,3).
 
     light_samples > 0 adds Monte-Carlo direct lighting from the scene's
     emissive triangles (area lights -> physically-based soft shadows); the
     emitter sample points are shared across the ray batch per call.
+    (hit, shade): kernel-emitted per-hit attributes (Tracer.closest_shaded)
+    that replace the _surface_attrs table gather on the hard path.
     """
     scene = tracer.scene
-    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
-        rays, tracer.table, tri_id)
+    if shade is not None and hit is not None:
+        albedo, emission, n_raw = shade
+        t_eff = jnp.where(valid, hit.t, 1.0)  # miss t = T_MAX would overflow
+        p = rays.o + t_eff[..., None] * rays.d
+        n_len = jnp.maximum(
+            jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-20
+        )
+        n = face_forward(n_raw / n_len, rays.d)
+    else:
+        _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
+            rays, tracer.table, tri_id)
     wi, dist, _ = light_dirs(p, scene.lights)
     # Shadow rays: one per (ray, light), flattened LIGHT-major — adjacent
     # rays in a packet then share one light (coherent subtrees); ray-major
@@ -480,9 +508,10 @@ def render_rays(
     """
     if not soft:
         scene = tracer.scene
-        hit = tracer.closest(rays)
+        hit, shade = tracer.closest_shaded(rays)
         color = _shade_layer(
             tracer, rays, hit.tri, hit.valid, light_samples, key,
+            hit=hit, shade=shade,
         )
         bg = jnp.broadcast_to(scene.background, color.shape)
         return jnp.where(hit.valid[..., None], color, bg)
