@@ -74,27 +74,77 @@ def segment_accumulate(idx: Array, cot: Array, num_rows: int) -> Array:
     cancellation in f32 the way a plain cumsum-and-subtract would have).
     """
     n = idx.shape[0]
-    sidx, order = jax.lax.sort_key_val(idx, jnp.arange(n, dtype=jnp.int32))
-    scot = cot[order]
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
+    # ONE multi-operand sort carrying every payload column instead of
+    # sort_key_val + a row gather of the payload: XLA row gathers wider
+    # than 8 columns hit a ~4x slower lowering (measured round 5: a
+    # (2.1M, 9) permute gather costs 49.4 ms vs 12.9 ms at 8 columns,
+    # while lax.sort with the 9 columns as payload operands does the whole
+    # sort+permute in 13.6 ms).
+    c_cols = cot.shape[-1]
+    sorted_ops = jax.lax.sort(
+        (idx,) + tuple(cot[:, i] for i in range(c_cols)), num_keys=1
     )
-    # log-shift segmented inclusive scan: y[i] accumulates its whole segment
-    # prefix; `blk` marks "a segment boundary lies within the last sh rows"
-    y = scot
-    blk = seg_start
+    sidx = sorted_ops[0]
+
+    # TWO-LEVEL segmented scan (round 5): the flat log-shift scan paid
+    # log2(N) ~ 21 full-array passes; blocking into rows of B pays log2(B)
+    # = 8 passes over the data (on well-tiled (N/B, B) per-column arrays)
+    # plus a tiny linear-recurrence scan over the N/B block summaries.
+    B = 256
+    pad = (-n) % B
+    sid2 = jnp.pad(sidx, (0, pad), constant_values=num_rows).reshape(-1, B)
+    y = [jnp.pad(c, (0, pad)).reshape(-1, B) for c in sorted_ops[1:]]
+    nb = sid2.shape[0]
+    prev = jnp.pad(sid2, ((0, 0), (1, 0)), constant_values=-1)[:, :B]
+    blk = sid2 != prev  # block-local segment starts (row 0 always starts)
     sh = 1
-    while sh < n:
-        ypad = jnp.pad(y, ((sh, 0), (0, 0)))[:n]
-        bpad = jnp.pad(blk, (sh, 0), constant_values=True)[:n]
-        y = jnp.where(blk[:, None], y, y + ypad)
+    while sh < B:
+        bpad = jnp.pad(blk, ((0, 0), (sh, 0)), constant_values=True)[:, :B]
+        y = [
+            jnp.where(blk, c, c + jnp.pad(c, ((0, 0), (sh, 0)))[:, :B])
+            for c in y
+        ]
         blk = blk | bpad
         sh *= 2
+    # Block carries: a segment crossing block edges needs the sum of its
+    # rows in EARLIER blocks added to its rows here.  carry obeys the
+    # linear recurrence carry[b] = g[b] + a[b] * carry[b-1] with
+    # a = "previous block is one whole segment that continues into b" and
+    # g = "previous block's trailing-piece sum if it continues into b";
+    # solved by a log-shift recurrence-composition scan over nb rows.
+    head = sid2[:, 0]
+    tail_id = sid2[:, -1]
+    full = head == tail_id  # sorted => no internal boundary iff all equal
+    tid_prev = jnp.pad(tail_id, (1, 0), constant_values=-2)[:nb]
+    cont = tid_prev == head
+    a = (cont & jnp.pad(full, (1, 0))[:nb]).astype(jnp.float32)
+    gs = [
+        jnp.where(cont, jnp.pad(c[:, -1], (1, 0))[:nb], 0.0) for c in y
+    ]
+    aa = a
+    sh = 1
+    while sh < nb:
+        as_ = jnp.pad(aa, (sh, 0))[:nb]
+        gs = [c + aa * jnp.pad(c, (sh, 0))[:nb] for c in gs]
+        aa = aa * as_
+        sh *= 2
+    # rows with id == head belong to the block's first piece (sorted =>
+    # they are a prefix); only those receive the carry
+    first = sid2 == head[:, None]
+    y = [c + cc[:, None] * first for c, cc in zip(y, gs)]
+
     # segment totals live at segment ENDS; end position of vertex v's
-    # segment is hi[v]-1 where hi = cumulative id histogram
+    # segment is hi[v]-1 where hi = cumulative id histogram.  Gather the
+    # end rows in <=8-column groups (the >8-wide row-gather lowering is
+    # ~4x slower — same cliff as the payload permute above).
     counts = jnp.zeros((num_rows,), jnp.int32).at[idx].add(1)
     hi = jnp.cumsum(counts)
-    return jnp.where((counts > 0)[:, None], y[jnp.maximum(hi - 1, 0)], 0.0)
+    g = jnp.maximum(hi - 1, 0)
+    flat = jnp.stack([c.reshape(-1) for c in y], axis=-1)  # (n+pad, C)
+    ends = jnp.concatenate(
+        [flat[:, i:i + 8][g] for i in range(0, c_cols, 8)], axis=-1
+    )
+    return jnp.where((counts > 0)[:, None], ends, 0.0)
 
 
 @jax.custom_vjp

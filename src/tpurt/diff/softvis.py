@@ -262,6 +262,71 @@ def soft_occlusion_from_ids(
     return transmittance(a).reshape(rays.shape)
 
 
+def dot3(a, b):
+    """Dot of two component-list vectors (3 arrays each)."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    """Cross of two component-list vectors -> component list."""
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def soft_occlusion_layers_soa(
+    o_c, d_c, t_max, ids, table, sharpness, band=0.08,
+    t_min: float = DEFAULT_T_MIN,
+):
+    """SoA core of the shared-candidate soft shadow model (ray index LAST).
+
+    TPU arrays tile their LAST TWO dims onto (8, 128) registers, so dense
+    math on AoS shapes like (R, K, L, C) with tiny trailing dims runs at
+    ~1/16 lane efficiency — measured 105 ms for this function's AoS form vs
+    14.5 ms for this one at 262K rays (docs/PERF.md round 5).  Everything
+    here keeps the big R axis last and vectors as 3-component lists.
+
+    o_c: 3 x (K, 1, 1, R) surface origins; d_c: 3 x (K, L, 1, R) unit dirs;
+    t_max: (K, L, 1, R); ids: (L, C, R) int32 (-1 pad).
+    Returns transmittance (K, L, R).
+    """
+    from tpurt.diff.gather_grad import gather_verts
+
+    ids = jax.lax.stop_gradient(ids)
+    # Only the geometry columns: occluder alphas never read albedo/emission,
+    # so gathering (and segment-summing the cotangent of) 9 columns instead
+    # of 15 cuts the backward's largest sorted segment-sum by 40%.
+    row = gather_verts(table[:, :9], jnp.maximum(ids, 0))  # (L, C, R, 9)
+    c = [row[..., i][None] for i in range(9)]       # 9 x (1, L, C, R)
+    v0, e1, e2 = c[0:3], c[3:6], c[6:9]
+    nrm = cross3(e1, e2)
+    pv = cross3(d_c, e2)
+    det = dot3(e1, pv)                              # (K, L, C, R)
+    inv = det / (det * det + DET_EPS)               # smooth pseudo-inverse
+    tv = [o_c[i] - v0[i] for i in range(3)]
+    u = dot3(tv, pv) * inv
+    qv = cross3(tv, e1)
+    v = dot3(d_c, qv) * inv
+    t = dot3(e2, qv) * inv
+    cos_dn = det * jax.lax.rsqrt(
+        jnp.maximum(dot3(d_c, d_c) * dot3(nrm, nrm), 1e-30)
+    )
+    ok = (
+        (ids[None] >= 0)
+        & (jnp.abs(det) > DET_EPS)
+        & (u >= -band)
+        & (v >= -band)
+        & (u + v <= 1.0 + band)
+        & (t > t_min)
+        & (t < 2.0 * t_max)
+    )
+    a = (coverage(u, v, sharpness, ok, band) * shadow_t_ramp(t, t_max)
+         * det_gate(cos_dn))
+    return jnp.prod(1.0 - a, axis=-2)               # over C -> (K, L, R)
+
+
 def soft_occlusion_layers(
     o: Array,
     d: Array,
@@ -284,40 +349,23 @@ def soft_occlusion_layers(
     exponentially less compositing weight, docs/PERF.md round 4).
     table: the (T, 15) render/pipeline.tri_table.
 
-    Gradients: ids are discrete stop-grad structure; (t,u,v) recompute
-    analytically through diff/intersect_vjp and the single fused table-row
-    gather gives ONE sorted segment-sum on the way back instead of K*C
-    scatter-adds (diff/gather_grad.py).
-    """
-    from tpurt.diff.gather_grad import gather_verts
+    AoS convenience wrapper over `soft_occlusion_layers_soa` (which the
+    pipeline calls directly): transposes to ray-last component form, since
+    the AoS dense math was measured 7x slower on v5e (tiny trailing dims).
 
-    ids = jax.lax.stop_gradient(ids)
-    tid = jnp.maximum(ids, 0)
-    row = gather_verts(table, tid)           # (R, L, C, 15)
-    v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
-    v1 = v0 + e1
-    v2 = v0 + e2
-    nrm = jnp.cross(e1, e2)
-    o4 = o[:, :, None, None, :]          # (R, K, 1, 1, 3)
-    d4 = d[:, :, :, None, :]             # (R, K, L, 1, 3)
-    t, u, v = intersect_tuv(o4, d4, v0[:, None], v1[:, None], v2[:, None])
-    pvec = jnp.cross(d4, e2[:, None])
-    det = dot(e1[:, None], pvec)         # (R, K, L, C)
-    cos_dn = det / jnp.sqrt(
-        jnp.maximum(dot(d4, d4) * dot(nrm, nrm)[:, None], 1e-30)
+    Gradients: ids are discrete stop-grad structure; (t,u,v) recompute
+    analytically and the single fused table-row gather gives ONE sorted
+    segment-sum on the way back instead of K*C scatter-adds
+    (diff/gather_grad.py).
+    """
+    o_c = [o[..., i].T[:, None, None, :] for i in range(3)]      # (K,1,1,R)
+    d_c = [d[..., i].transpose(1, 2, 0)[:, :, None, :] for i in range(3)]
+    tm = t_max.transpose(1, 2, 0)[:, :, None, :]                 # (K,L,1,R)
+    idsT = ids.transpose(1, 2, 0)                                # (L,C,R)
+    vis = soft_occlusion_layers_soa(
+        o_c, d_c, tm, idsT, table, sharpness, band, t_min
     )
-    tm = t_max[..., None]                # (R, K, L, 1)
-    ok = (
-        (ids[:, None] >= 0)
-        & (jnp.abs(det) > DET_EPS)
-        & (u >= -band)
-        & (v >= -band)
-        & (u + v <= 1.0 + band)
-        & (t > t_min)
-        & (t < 2.0 * tm)
-    )
-    a = coverage(u, v, sharpness, ok, band) * shadow_t_ramp(t, tm) * det_gate(cos_dn)
-    return transmittance(a)              # product over C -> (R, K, L)
+    return vis.transpose(2, 0, 1)                                # (R,K,L)
 
 
 def soft_occlusion_brute(

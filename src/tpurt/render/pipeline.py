@@ -19,6 +19,7 @@ from flax import struct
 
 from tpurt.accel.intersect import (
     DEFAULT_T_MIN,
+    DET_EPS,
     intersect_brute,
     intersect_tri,
     occluded_brute,
@@ -530,73 +531,114 @@ def _render_soft(
     key: Array | None,
 ) -> Array:
     """K-layer soft render, vectorized over layers with SHARED shadow
-    candidates (the round-4 restructure).
+    candidates, all dense math in SoA (ray-index-LAST) component form.
 
-    Round 3 unrolled the layers in Python, each tracing its own k_occ=16
-    occlusion walk (4 x 253 ms of the soft forward) and each contributing
-    its own scatter-add transpose (~3.4 s of backward).  Here:
-    - hit ids for all K layers come from ONE k-nearest walk (as before),
-    - surface attributes for all layers are one broadcasted _surface_attrs
-      call (one fused corner gather -> one segment-sum backward),
+    Round 4 vectorized the layers but left the dense math on AoS shapes
+    like (R, K, L, C, 3) whose tiny trailing dims tile onto the TPU's
+    (8, 128) registers at ~1/16 lane efficiency — the soft forward's
+    surface-attr and occlusion stages measured 74 + 105 ms at 262K rays
+    with only ~27 ms of that being the actual row gathers (docs/PERF.md
+    round 5).  This version keeps the R axis last everywhere (vectors as
+    3-component lists, diff/softvis.dot3/cross3), which is the same SoA
+    discipline the Pallas kernels use:
+    - hit ids for all K layers come from ONE k-nearest walk,
+    - surface attributes come from one fused (K, R) table-row gather with
+      Möller–Trumbore recomputed in component form (one segment-sum on the
+      way back, diff/gather_grad),
     - shadow candidates are traced ONCE per (ray, light) from the nearest
-      layer's surface point and reused for every layer
-      (diff/softvis.soft_occlusion_layers),
-    - shading is one vectorized shade_lambert over the (R*K) layer points.
+      layer and evaluated for every layer by soft_occlusion_layers_soa,
+    - shading is one shade_lambert over the (R*K) layer points.
     """
+    from tpurt.diff.softvis import cross3, dot3, soft_occlusion_layers_soa
+
     scene = tracer.scene
-    # Hit ids are discrete structure; attrs are recomputed differentiably in
-    # _surface_attrs, so the whole KHits record is stop-gradient (this also
-    # keeps reverse-mode AD out of while-loop traversal engines).
+    # Hit ids are discrete structure; attrs are recomputed differentiably,
+    # so the whole KHits record is stop-gradient (this also keeps
+    # reverse-mode AD out of while-loop traversal engines).
     kh = jax.lax.stop_gradient(tracer.k_nearest(rays, k=k_layers, band=band))
     k = kh.k
     ids = kh.tri                                   # (R, K)
-    valid = ids >= 0
-    rk = Rays(o=rays.o[:, None, :], d=rays.d[:, None, :])
-    _, u, v, p, n, albedo, emission, cos_dn = _surface_attrs(
-        rk, tracer.table, ids)
-    alphas = coverage(u, v, sharpness, valid, band) * det_gate(cos_dn)  # (R, K)
     R = ids.shape[0]
+    idsT = ids.T                                   # (K, R)
+    valid = idsT >= 0
+    # --- SoA surface attributes: one fused row gather, R-last math -------
+    row = gather_verts(tracer.table, jnp.maximum(idsT, 0))     # (K, R, 15)
+    c = [row[..., i] for i in range(15)]                       # 15 x (K, R)
+    v0, e1, e2, alb, emi = c[0:3], c[3:6], c[6:9], c[9:12], c[12:15]
+    oc = [rays.o[:, i][None] for i in range(3)]                # (1, R)
+    dc = [rays.d[:, i][None] for i in range(3)]
+    pv = cross3(dc, e2)
+    det = dot3(e1, pv)                                         # (K, R)
+    inv = det / (det * det + DET_EPS)                          # smooth
+    tv = [oc[i] - v0[i] for i in range(3)]
+    u = dot3(tv, pv) * inv
+    qv = cross3(tv, e1)
+    v = dot3(dc, qv) * inv
+    t = dot3(e2, qv) * inv
+    nr = cross3(e1, e2)
+    inv_nlen = jax.lax.rsqrt(jnp.maximum(dot3(nr, nr), 1e-40))
+    inv_dlen = jax.lax.rsqrt(jnp.maximum(dot3(dc, dc), 1e-40))
+    cos_dn = det * inv_nlen * inv_dlen
+    flip = jnp.where(dot3(nr, dc) > 0.0, -inv_nlen, inv_nlen)
+    n_ = [nr[i] * flip for i in range(3)]                      # unit, faced
+    p_ = [oc[i] + t * dc[i] for i in range(3)]                 # (K, R)
+    alphas = coverage(u, v, sharpness, valid, band) * det_gate(cos_dn)
+    o_surf = [p_[i] + SHADOW_EPS * n_[i] for i in range(3)]
+    valid0 = valid[0]                                          # (R,)
     L = scene.lights.pos.shape[0]
-    o_surf = p + SHADOW_EPS * n                    # (R, K, 3)
-    valid0 = valid[:, 0]
 
     def shared_vis(light_pos, n_l):
-        """Soft transmittance (R, K, n_l) toward n_l point positions from
+        """Soft transmittance (K, n_l, R) toward n_l point positions from
         every layer, candidates traced once from layer 0 (light-major)."""
-        delta = light_pos[None, None] - p[:, :, None, :]        # (R,K,nl,3)
-        dist = jnp.sqrt(jnp.maximum(
-            jnp.sum(delta * delta, axis=-1), 1e-12))
-        wi = delta / dist[..., None]
-        o_sh = jnp.broadcast_to(
-            o_surf[None, :, 0, :], (n_l, R, 3)).reshape(-1, 3)
-        d_sh = wi[:, 0].transpose(1, 0, 2).reshape(-1, 3)
+        lp = [light_pos[:, i][None, :, None] for i in range(3)]  # (1,nl,1)
+        delta = [lp[i] - p_[i][:, None, :] for i in range(3)]    # (K,nl,R)
+        dist = jnp.sqrt(jnp.maximum(dot3(delta, delta), 1e-12))
+        wi = [delta[i] / dist for i in range(3)]
+        # trace from layer 0, light-major flat (nl*R,)
+        o_sh = jnp.stack(
+            [jnp.broadcast_to(o_surf[i][0][None], (n_l, R)) for i in range(3)],
+            axis=-1,
+        ).reshape(-1, 3)
+        d_sh = jnp.stack(
+            [wi[i][0] for i in range(3)], axis=-1
+        ).reshape(-1, 3)  # layer 0, light-major (nl*R, 3)
         # miss rays: zero-length segments -> the walk drains immediately
-        t_cand = jnp.where(valid0[:, None], dist[:, 0], 0.0).T.reshape(-1)
+        t_cand = jnp.where(valid0[None], dist[0], 0.0).reshape(-1)
         occ = tracer.occluder_ids(
             Rays(o=o_sh, d=d_sh), t_cand * SHADOW_T_FRAC, k_occ, band
-        ).reshape(n_l, R, k_occ).transpose(1, 0, 2)            # (R, nl, C)
-        return soft_occlusion_layers(
-            o_surf, wi, dist * SHADOW_T_FRAC, occ, tracer.table,
-            sharpness, band,
-        )
+        ).reshape(n_l, R, k_occ).transpose(0, 2, 1)             # (nl, C, R)
+        return soft_occlusion_layers_soa(
+            [o_surf[i][:, None, None, :] for i in range(3)],
+            [wi[i][:, :, None, :] for i in range(3)],
+            (dist * SHADOW_T_FRAC)[:, :, None, :],
+            occ, tracer.table, sharpness, band,
+        )                                                       # (K, nl, R)
+
+    def vis_to_aos(vis_klr):
+        # (K, nl, R) -> (R*K, nl) matching the ray-major layer flattening
+        return vis_klr.transpose(2, 0, 1).reshape(R * k, -1)
 
     if L > 0:
-        vis = shared_vis(scene.lights.pos, L).reshape(R * k, L)
+        vis = vis_to_aos(shared_vis(scene.lights.pos, L))
     else:
         vis = jnp.zeros((R * k, 0), jnp.float32)
-    pf, nf = p.reshape(-1, 3), n.reshape(-1, 3)
+
+    def aos3(comps):
+        # 3 x (K, R) -> (R*K, 3) in ray-major layer order
+        return jnp.stack(comps, axis=-1).transpose(1, 0, 2).reshape(-1, 3)
+
+    pf, nf = aos3(p_), aos3(n_)
     color = shade_lambert(
-        pf, nf, albedo.reshape(-1, 3), emission.reshape(-1, 3),
-        scene.lights, vis, scene.ambient,
+        pf, nf, aos3(alb), aos3(emi), scene.lights, vis, scene.ambient,
     )
     if light_samples > 0 and key is not None:
         lp, ln_, le, pdf, _ = sample_emitters(key, scene.tris, light_samples)
-        vis_al = shared_vis(lp, light_samples).reshape(R * k, light_samples)
+        vis_al = vis_to_aos(shared_vis(lp, light_samples))
         color = color + area_light_contrib(
-            pf, nf, albedo.reshape(-1, 3), lp, ln_, le, pdf, vis_al
+            pf, nf, aos3(alb), lp, ln_, le, pdf, vis_al
         )
-    colors = jnp.where(valid[..., None], color.reshape(R, k, 3), 0.0)
-    return composite(alphas, colors, scene.background)
+    colors = jnp.where(valid.T[..., None], color.reshape(R, k, 3), 0.0)
+    return composite(alphas.T, colors, scene.background)
 
 
 def render(
