@@ -103,12 +103,10 @@ class Renderer:
         if self.mesh is not None:
             if self.partition == "ring":
                 # the ring engine shards rays + scene internally
-                # (jit+shard_map inside dist/ring.py); no outer wrapper
-                if kw.get("soft"):
-                    raise ValueError(
-                        "soft rendering is not supported on the partitioned "
-                        "ring path; use partition='replicated'"
-                    )
+                # (jit+shard_map inside dist/ring.py); no outer wrapper.
+                # Soft/differentiable rendering works here too since round
+                # 5 (dist/ring.ring_k_nearest feeds the stop-grad soft
+                # model with partitioned candidates).
                 return render_rays(self._tracer, rays, key=key, **kw)
             from tpurt.dist.shard import shard_render_rays
 

