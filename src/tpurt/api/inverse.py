@@ -75,6 +75,8 @@ class InverseRenderer:
         self.tracer0 = make_tracer(scene, **self.render_cfg.tracer_kwargs())
         self.opt = _make_optimizer(self.fit_cfg)
         self._step_fn = None
+        self.rebuilds = 0
+        self._quality0 = None  # at-build quality, computed lazily
 
     # -- parameter pytree -------------------------------------------------
     def init_params(self) -> dict[str, Array]:
@@ -109,13 +111,16 @@ class InverseRenderer:
             colors = render_rays(tr, Rays(o=o, d=d), **rkw)
             return jnp.sum((colors - target) ** 2)
 
-        def grads_body(params, o, d, target):
+        def grads_body(params, o, d, target, tracer0):
             # Refit once per step with the current vertices; AABBs carry no
-            # gradient (discrete structure only).
+            # gradient (discrete structure only).  tracer0 is a step ARG
+            # (not a closure constant) so a rebuild-on-drift swap
+            # (self._maybe_rebuild) needs no re-jit and no re-embedding of
+            # the whole BVH as HLO constants.
             scene = jax.lax.stop_gradient(self.apply_params(params))
-            bvh = self.tracer0.bvh
-            packed = self.tracer0.packed
-            wide = self.tracer0.wide
+            bvh = tracer0.bvh
+            packed = tracer0.packed
+            wide = tracer0.wide
             if bvh is not None and "verts" in params:
                 # flat arrays feed only the binary engines; skip their
                 # scatter rewrite on the BVH8/brute paths (refit.py)
@@ -130,7 +135,7 @@ class InverseRenderer:
                     from tpurt.accel.bvh8 import refit_wide
 
                     wide = refit_wide(wide, bvh, scene.tris)
-            tracer = self.tracer0.replace(
+            tracer = tracer0.replace(
                 scene=scene, bvh=bvh, packed=packed, wide=wide
             )
             return chunked_grad(
@@ -145,19 +150,62 @@ class InverseRenderer:
             grads_body = shard_map(
                 grads_body,
                 mesh=self.mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
 
         @jax.jit
-        def step(params, opt_state, o, d, target):
-            loss, grads = grads_body(params, o, d, target)
+        def step(params, opt_state, o, d, target, tracer0):
+            loss, grads = grads_body(params, o, d, target, tracer0)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         return step
+
+    # -- rebuild-on-drift --------------------------------------------------
+    def tree_quality(self, params: dict[str, Array]) -> float:
+        """SAH-style tree quality of the (refit) BVH at these vertices:
+        sum of internal-node surface areas / root surface area — the
+        expected number of node tests per random ray, up to a constant.
+        Refit-only fits degrade this as vertices drift far from the
+        topology's build positions (boxes inflate and overlap); the ratio
+        against the at-build value is the rebuild trigger."""
+        from tpurt.accel.lbvh import range_minmax_sparse
+
+        scene = self.apply_params(params)
+        bvh = self.tracer0.bvh
+        if bvh is None:
+            return 1.0
+        v0, v1, v2 = scene.tris.corners()
+        tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+        tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+        lo, hi = range_minmax_sparse(
+            tri_lo[bvh.tri_order], tri_hi[bvh.tri_order], bvh.first, bvh.last
+        )
+        d = jnp.maximum(hi - lo, 0.0)
+        area = 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                      + d[:, 2] * d[:, 0])
+        return float(jnp.sum(area) / jnp.maximum(area[0], 1e-30))
+
+    def _maybe_rebuild(self, params: dict[str, Array]) -> bool:
+        """Rebuild the acceleration structure from scratch at the current
+        vertices when refit quality has degraded past
+        fit_cfg.rebuild_ratio x the at-build quality (VERDICT r4 #8).
+        Topology/morton order re-freeze at the new geometry; the jitted
+        step takes the tracer as an argument, so no recompile happens."""
+        if self._quality0 is None:
+            self._quality0 = self.tree_quality(self.init_params())
+        q = self.tree_quality(params)
+        if q <= self.fit_cfg.rebuild_ratio * self._quality0:
+            return False
+        self.tracer0 = make_tracer(
+            self.apply_params(params), **self.render_cfg.tracer_kwargs()
+        )
+        self._quality0 = self.tree_quality(params)
+        self.rebuilds += 1
+        return True
 
     # -- driver loop -------------------------------------------------------
     def fit(
@@ -197,11 +245,14 @@ class InverseRenderer:
         losses = []
         for i in range(start, steps):
             params, opt_state, loss = step(
-                params, opt_state, rays.o, rays.d, target
+                params, opt_state, rays.o, rays.d, target, self.tracer0
             )
             losses.append(float(loss) / n)
             if callback:
                 callback(i, losses[-1])
+            if (cfg.rebuild_every and "verts" in params
+                    and (i + 1) % cfg.rebuild_every == 0):
+                self._maybe_rebuild(params)
             if cfg.ckpt_path and cfg.ckpt_every and (i + 1) % cfg.ckpt_every == 0:
                 save_ckpt(cfg.ckpt_path, (params, opt_state), i + 1)
 
