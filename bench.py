@@ -248,7 +248,13 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         # inside the timed step exactly like api/inverse does every step,
         # and cover the ray batch with a scan over <=256K-ray chunks so the
         # full frame is timed, not a fraction of it.
-        chunk = min(262144, n)
+        if method == "pallas8" and tracer.bvh is not None:
+            # the BVH8 fit path reads only (first/last/order/boxes); drop
+            # the binary engines' arrays (~450 MB at 5M) — the effective
+            # single-client HBM budget through this environment is ~4 GB
+            tracer = tracer.replace(bvh=tracer.bvh.slim_for_wide(),
+                                    packed=None)
+        chunk = min(131072 if scene.tris.num_tris >= 2_000_000 else 262144, n)
         n_pad = (-n) % chunk
         o_p = jnp.pad(o, ((0, n_pad), (0, 0)))
         d_p = jnp.pad(d, ((0, n_pad), (0, 0)))
@@ -419,7 +425,7 @@ def main() -> None:
                 "below are NOT trustworthy (timing_suspect=true)")
 
         kw = {}
-        if args.scene in ("sponza", "sponza5m"):
+        if args.scene == "sponza":
             kw = dict(num_tris=args.tris, width=args.width, height=args.height)
         scene, cam = get_scene(args.scene, **kw)
         log(f"scene={args.scene} tris={scene.tris.num_tris} "

@@ -487,15 +487,7 @@ def stack_bound(entry_meta: np.ndarray) -> int:
     return int((sdep + is_int.sum(axis=1)).max())
 
 
-def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
-    """(R, 8) tri ids -> (R + R_MAX_ROWS, 128) packed rows (jittable; the
-    refit path after vertices moved).
-
-    Lane map per row: 9j..9j+8 = tri j's (v0, e1, e2); 72+j = tri id
-    (lane codec); 80+3j = albedo; 104+3j = emission.  The shading lanes let
-    the closest kernel emit per-hit shading attributes directly
-    (shade_out), replacing the hard render's per-ray (R, 15) table-row
-    gather (~8 ns/row, 17 ms/frame at 2M rays — docs/PERF.md round 5)."""
+def _rows_core(tris: Triangles, row_tids: Array) -> Array:
     r = row_tids.shape[0]
     ok = row_tids >= 0
     g = jnp.maximum(row_tids, 0)
@@ -507,7 +499,34 @@ def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
     idf = encode_lane_i32(row_tids)  # (R, 8), denormal-safe encoding
     alb = jnp.where(ok[..., None], tris.albedo[g], 0.0).reshape(r, 24)
     emi = jnp.where(ok[..., None], tris.emission[g], 0.0).reshape(r, 24)
-    rows = jnp.concatenate([dat, idf, alb, emi], axis=-1)
+    return jnp.concatenate([dat, idf, alb, emi], axis=-1)
+
+
+# Above this row count the packing loops over row chunks (lax.map) so its
+# gather/concat transients stay ~250 MB instead of ~1.7 GB — the 5M refit
+# step otherwise exceeds the ~4 GB effective HBM budget (round 5).
+_ROWS_CHUNKED_MIN_R = 1 << 19
+
+
+def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
+    """(R, 8) tri ids -> (R + R_MAX_ROWS, 128) packed rows (jittable; the
+    refit path after vertices moved).
+
+    Lane map per row: 9j..9j+8 = tri j's (v0, e1, e2); 72+j = tri id
+    (lane codec); 80+3j = albedo; 104+3j = emission.  The shading lanes let
+    the closest kernel emit per-hit shading attributes directly
+    (shade_out), replacing the hard render's per-ray (R, 15) table-row
+    gather (~8 ns/row, 17 ms/frame at 2M rays — docs/PERF.md round 5)."""
+    r = row_tids.shape[0]
+    if r > _ROWS_CHUNKED_MIN_R:
+        b = 1 << 17
+        pad_r = (-r) % b
+        rt = jnp.pad(row_tids, ((0, pad_r), (0, 0)), constant_values=-1)
+        rows = jax.lax.map(
+            lambda c: _rows_core(tris, c), rt.reshape(-1, b, TRIS_PER_ROW)
+        ).reshape(-1, 128)[:r]
+    else:
+        rows = _rows_core(tris, row_tids)
     # Overshoot pad: a fat-leaf DMA always copies R_MAX_ROWS rows; rows past
     # n_rows are skipped by the kernel and pad rows are all-zero (det == 0
     # fails Möller-Trumbore for every ray).  Then round up to a full

@@ -74,6 +74,22 @@ class BVH(struct.PyTreeNode):
     def num_flat(self) -> int:
         return self.flat_escape.shape[0]
 
+    def slim_for_wide(self) -> "BVH":
+        """Drop the arrays only the BINARY engines read (flat threaded
+        representation, child/parent links) — ~450 MB at 5M tris.  The BVH8
+        path needs just (first, last, tri_order, node boxes) for the RMQ
+        refit and entry regathers; the effective single-client HBM budget
+        through the axon tunnel is ~4 GB (measured round 5), so the 5M
+        fwd_bwd step only fits with the binary half dropped."""
+        z3 = jnp.zeros((1, 3), jnp.float32)
+        zi = jnp.zeros((1,), jnp.int32)
+        return self.replace(
+            left=zi, right=zi, parent=zi,
+            flat_lo=z3, flat_hi=z3, flat_escape=zi,
+            flat_is_leaf=jnp.zeros((1,), bool), flat_first=zi,
+            flat_count=zi, dfs=zi,
+        )
+
 
 def _delta(codes: Array, i: Array, j: Array, n: int) -> Array:
     """LCP length of sorted (code, index) keys; -1 when j out of range."""
@@ -158,6 +174,89 @@ def _converge(body, init, max_iters: int):
     return out
 
 
+# Above this leaf count range_minmax_sparse switches to the O(N)-memory
+# two-level blocked table: the flat sparse table is (log2(N), N, 6) f32 —
+# 2.76 GB transient at 5M tris, the allocation that pushed the 5M fwd_bwd
+# step out of HBM (round 5; ADVICE r4 flagged the transient too).
+_RMQ_BLOCKED_MIN_N = 1 << 21
+_RMQ_B = 32  # block width of the two-level table
+
+
+def _shift_min(prev: Array, h: int) -> Array:
+    if h >= prev.shape[0]:  # window past the array: partner is all +inf
+        return prev
+    big = jnp.float32(3.0e38)
+    return jnp.minimum(
+        prev, jnp.concatenate([prev[h:], jnp.full((h, 6), big, prev.dtype)])
+    )
+
+
+def _range_minmax_blocked(box: Array, first: Array, last: Array):
+    """Exact two-level RMQ in O(N) memory (min is idempotent and exact in
+    f32, so every grouping is BITWISE identical to the flat table):
+    - ranges of length <= B answer from dense levels 0..log2(B);
+    - longer ranges combine the in-block suffix-min at `first`, the
+      in-block prefix-min at `last`, and a sparse table over per-block
+      minima for the full blocks in between (empty-safe)."""
+    n = box.shape[0]
+    big = jnp.float32(3.0e38)
+    b = _RMQ_B
+    kb = b.bit_length() - 1  # log2(B)
+
+    # dense levels 0..kb (window sizes 1..B)
+    dense = jnp.full((kb + 1, n, 6), big, box.dtype).at[0].set(box)
+    prev = box
+    for k in range(1, kb + 1):
+        prev = _shift_min(prev, 1 << (k - 1))
+        dense = dense.at[k].set(prev)
+
+    # block structure (pad to whole blocks)
+    pad = (-n) % b
+    boxp = jnp.concatenate([box, jnp.full((pad, 6), big, box.dtype)])
+    nb = boxp.shape[0] // b
+    blocks = boxp.reshape(nb, b, 6)
+    pmin = jnp.minimum.accumulate(blocks, axis=1).reshape(-1, 6)
+    smin = jnp.flip(
+        jnp.minimum.accumulate(jnp.flip(blocks, axis=1), axis=1), axis=1
+    ).reshape(-1, 6)
+    bmin = jnp.min(blocks, axis=1)  # (nb, 6)
+    n_blk_levels = max(nb.bit_length(), 1)
+    btab = jnp.full((n_blk_levels, nb, 6), big, box.dtype).at[0].set(bmin)
+    prev = bmin
+    for k in range(1, n_blk_levels):
+        prev = _shift_min(prev, 1 << (k - 1))
+        btab = btab.at[k].set(prev)
+    btab_flat = btab.reshape(-1, 6)
+
+    length = last - first + 1
+    kq = 31 - jax.lax.clz(length)
+
+    # short route: two dense windows of size 2^kq (kq <= kb)
+    ks = jnp.minimum(kq, kb)
+    dense_flat = dense.reshape(-1, 6)
+    short = jnp.minimum(
+        dense_flat[ks * n + first],
+        dense_flat[ks * n + jnp.maximum(last + 1 - (1 << ks), 0)],
+    )
+
+    # long route: suffix(first) ∧ prefix(last) ∧ block-table middle
+    bl = first // b
+    br = last // b
+    lo_b = bl + 1
+    hi_b = br - 1
+    blen = jnp.maximum(hi_b - lo_b + 1, 0)
+    has_mid = blen > 0
+    kqb = 31 - jax.lax.clz(jnp.maximum(blen, 1))
+    g1 = jnp.clip(kqb * nb + lo_b, 0, btab_flat.shape[0] - 1)
+    g2 = jnp.clip(kqb * nb + (hi_b + 1 - (1 << kqb)), 0,
+                  btab_flat.shape[0] - 1)
+    mid = jnp.minimum(btab_flat[g1], btab_flat[g2])
+    mid = jnp.where(has_mid[:, None], mid, big)
+    long_ = jnp.minimum(jnp.minimum(smin[first], pmin[last]), mid)
+
+    return jnp.where((length <= b)[:, None], short, long_)
+
+
 def range_minmax_sparse(leaf_lo: Array, leaf_hi: Array,
                         first: Array, last: Array):
     """Box of every [first, last] leaf range via a sparse-table RMQ.
@@ -177,6 +276,9 @@ def range_minmax_sparse(leaf_lo: Array, leaf_hi: Array,
     n = leaf_lo.shape[0]
     big = jnp.float32(3.0e38)
     box = jnp.concatenate([leaf_lo, -leaf_hi], axis=-1)  # min-reduce both
+    if n > _RMQ_BLOCKED_MIN_N:
+        m = _range_minmax_blocked(box, first, last)
+        return m[..., 0:3], -m[..., 3:6]
     # Build the (K, n, 6) table by in-place row-plane updates instead of a
     # levels list + jnp.stack: the stack form kept every level alive TWICE
     # (list + stacked copy, ~2x2.8 GB transient at 5M tris — ADVICE r4);

@@ -46,3 +46,18 @@ def test_golden_cornell_soft():
     img = render(scene, cam.replace(width=48, height=48), method="brute",
                  soft=True, k_layers=4, sharpness=40.0, band=0.08)
     _check(img, "cornell_soft_48.npy", frac=0.0)
+
+
+@pytest.mark.parametrize("method", [
+    "bvh", "packet",
+    pytest.param("pallas8", marks=pytest.mark.slow),
+])
+def test_golden_cornell_soft_engines(method):
+    """The SOFT render through the production engines (band-inflated BVH +
+    k-nearest candidates) against the brute soft golden — a regression in
+    the engine k-nearest -> compositing chain flips this even though the
+    hard goldens stay green (VERDICT r4 weak #3)."""
+    scene, cam = make_cornell_box()
+    img = render(scene, cam.replace(width=48, height=48), method=method,
+                 soft=True, k_layers=4, sharpness=40.0, band=0.08)
+    _check(img, "cornell_soft_48.npy", frac=0.003)

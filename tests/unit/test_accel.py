@@ -296,3 +296,24 @@ def test_thread_dfs_closed_form_matches_levelsync(n, leaf_size, seed):
             np.testing.assert_array_equal(g[liv], r[liv], err_msg=name)
         else:
             np.testing.assert_array_equal(g, r, err_msg=name)
+
+
+def test_blocked_rmq_matches_flat_table():
+    """The O(N)-memory two-level RMQ (used above 2^21 leaves, where the flat
+    (log N, N, 6) table is a multi-GB transient) must be BITWISE identical
+    to the flat table — min is idempotent, so any grouping is exact."""
+    from tpurt.accel.lbvh import _range_minmax_blocked, range_minmax_sparse
+
+    rng = np.random.default_rng(7)
+    for n in (2, 31, 32, 33, 64, 257, 4096, 70_000):
+        codes = jnp.asarray(np.sort(rng.integers(0, 2**30, n, np.uint32)))
+        _, _, _, first, last = build_radix_tree(codes)
+        lo = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        hi = lo + jnp.asarray(rng.uniform(0.01, 1.0, (n, 3)).astype(np.float32))
+        ref_lo, ref_hi = range_minmax_sparse(lo, hi, first, last)
+        box = jnp.concatenate([lo, -hi], axis=-1)
+        m = _range_minmax_blocked(box, first, last)
+        np.testing.assert_array_equal(np.asarray(m[..., :3]),
+                                      np.asarray(ref_lo), err_msg=f"lo n={n}")
+        np.testing.assert_array_equal(np.asarray(-m[..., 3:]),
+                                      np.asarray(ref_hi), err_msg=f"hi n={n}")

@@ -106,9 +106,19 @@ def test_pack_and_refit_consistent():
     tris2 = scene.tris.replace(verts=scene.tris.verts * 1.1 + 0.03)
     bvh2 = refit_aabbs(bvh, tris2)
     w_refit = refit_wide(wide, bvh2, tris2)
+    # the leaf-row map is a pure function of (leaf mask, ranges): re-derive
+    # it so a fresh pack uses the identical aligned rows
+    from tpurt.accel.bvh8 import align_leaf_rows
+
+    em2, rf, rl = align_leaf_rows(
+        np.asarray(wide.entry_node), np.asarray(wide.entry_meta),
+        np.asarray(bvh.first), np.asarray(bvh.last),
+    )
+    np.testing.assert_array_equal(em2, np.asarray(wide.entry_meta))
     w_fresh = jax.jit(pack_wide)(
         tris2, bvh2, wide.entry_node, wide.entry_meta,
         wide.own_node, wide.escape, wide.has_int,
+        jnp.asarray(rf), jnp.asarray(rl),
     )
     for a, b in zip(jax.tree_util.tree_leaves(w_refit),
                     jax.tree_util.tree_leaves(w_fresh)):
