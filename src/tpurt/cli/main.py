@@ -129,29 +129,59 @@ def cmd_fit(args) -> int:
 
 
 def cmd_check_grads(args) -> int:
+    """FD gradient gate through ANY engine (--method): the production paths
+    refit in-loss exactly like the fit step, so this validates the path
+    users actually train on, not just the brute oracle (VERDICT r4)."""
+    import jax
     import jax.numpy as jnp
 
     from tpurt.diff.fdcheck import check_grads_fd
     from tpurt.obs import get_logger
-    from tpurt.render.pipeline import render
+    from tpurt.render.pipeline import make_tracer, render, tri_table
 
     log = get_logger()
     scene, cam = _scene(args)
+    # generic position: tiny deterministic jitter + off-axis light — an
+    # axis-aligned scene places whole faces on max(n·l, 0)/min-barycentric
+    # KINKS where no one-sided derivative matches a central difference
+    # (same treatment as tests/grad/test_fdcheck.generic_cornell)
+    jit = 0.015 * (
+        jax.random.uniform(jax.random.PRNGKey(9), scene.tris.verts.shape) * 2
+        - 1.0
+    )
+    scene = scene.replace(tris=scene.tris.replace(verts=scene.tris.verts + jit))
+    band, soft_kw = 0.25, dict(soft=True, k_layers=8, sharpness=30.0, band=0.25)
+    method = args.method
+    tracer0 = make_tracer(scene, method, band=band)
 
     def loss(verts):
-        img = render(
-            scene.replace(tris=scene.tris.replace(verts=verts)),
-            cam,
-            method="brute",
-            soft=True,
-            k_layers=8,
-            sharpness=30.0,
-            band=0.25,
-        )
+        tris = scene.tris.replace(verts=verts)
+        sc = scene.replace(tris=tris)
+        tracer = tracer0
+        if tracer0.bvh is not None:
+            from tpurt.accel.refit import refit_aabbs
+
+            stris = jax.lax.stop_gradient(tris)
+            bvh = refit_aabbs(
+                tracer0.bvh, stris,
+                update_flat=method in ("bvh", "wave", "packet", "pallas"),
+            )
+            wide, packed = tracer0.wide, tracer0.packed
+            if wide is not None:
+                from tpurt.accel.bvh8 import refit_wide
+
+                wide = refit_wide(wide, bvh, stris)
+            if packed is not None:
+                from tpurt.accel.packet import refit_packed
+
+                packed = refit_packed(packed, bvh, stris)
+            tracer = tracer0.replace(bvh=bvh, wide=wide, packed=packed)
+        tracer = tracer.replace(scene=sc, table=tri_table(tris))
+        img = render(sc, cam, tracer=tracer, **soft_kw)
         return jnp.mean(img**2)
 
     report = check_grads_fd(loss, scene.tris.verts, max_probes_per_leaf=args.probes)
-    log.info("check-grads: %s", report)
+    log.info("check-grads[%s]: %s", method, report)
     return 0 if report["ok"] else 1
 
 
