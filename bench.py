@@ -276,7 +276,10 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         needs_flat = method in ("bvh", "wave", "packet", "pallas")
 
         @jax.jit
-        def prep(tr, verts, albedo):
+        def prep(tr, verts, albedo, table):
+            # table: the step's differentiable (T, 15) tri_table — reused
+            # (stop-grad) for the wide row repack, which is ~3x cheaper
+            # than regathering vertices (rows_from_table, docs/PERF.md r5)
             sc = tr.scene.replace(tris=tr.scene.tris.replace(
                 verts=verts, albedo=albedo))
             bvh, packed, wide = tr.bvh, tr.packed, tr.wide
@@ -292,7 +295,8 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
                     from tpurt.accel.bvh8 import refit_wide
 
                     wide = refit_wide(wide, bvh,
-                                      jax.lax.stop_gradient(sc.tris))
+                                      jax.lax.stop_gradient(sc.tris),
+                                      table=jax.lax.stop_gradient(table))
             return tr.replace(scene=sc, bvh=bvh, packed=packed, wide=wide)
 
         def _table_of(tr, verts, albedo):
@@ -325,8 +329,8 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
         def fn(tr, o_c, d_c):
             verts = tr.scene.tris.verts
             albedo = tr.scene.tris.albedo
-            tr2 = prep(tr, verts, albedo)
             table = table_fwd(tr, verts, albedo)
+            tr2 = prep(tr, verts, albedo, table)
             tcot = None
             for i in range(n_chunks):
                 _, tc = chunk_vjp(tr2, table, o_c[i], d_c[i])

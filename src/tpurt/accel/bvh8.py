@@ -536,6 +536,46 @@ def rows_from_tids(tris: Triangles, row_tids: Array) -> Array:
     return jnp.pad(rows, ((0, R_MAX_ROWS + ((-padded) % 8)), (0, 0)))
 
 
+def _rows_core_table(table: Array, row_tids: Array) -> Array:
+    r = row_tids.shape[0]
+    ok = row_tids >= 0
+    g = jnp.maximum(row_tids, 0)
+    # two <=8-column row gathers (the >8-wide row-gather lowering is ~4x
+    # slower on v5e — docs/PERF.md round 5)
+    t8 = table[:, 0:8][g]                          # (r, 8, 8)
+    t7 = table[:, 8:15][g]                         # (r, 8, 7)
+    full = jnp.where(ok[..., None], jnp.concatenate([t8, t7], -1), 0.0)
+    dat = full[..., 0:9].reshape(r, 72)
+    idf = encode_lane_i32(row_tids)
+    alb = full[..., 9:12].reshape(r, 24)
+    emi = full[..., 12:15].reshape(r, 24)
+    return jnp.concatenate([dat, idf, alb, emi], axis=-1)
+
+
+def rows_from_table(table: Array, row_tids: Array) -> Array:
+    """rows_from_tids, but sourced from an already-built (T, 15) tri_table
+    (render/pipeline.tri_table has the identical [v0, e1, e2, albedo,
+    emission] layout): two fused row gathers replace the five independent
+    vertex/attribute gathers — measured 27.8 vs 86.3 ms at 1M tris on v5e,
+    BITWISE-equal rows (docs/PERF.md round 5).  The fit/bench step already
+    builds the table every step, so the refit gets the cheap path for free;
+    pass jax.lax.stop_gradient(table) — rows are discrete kernel structure.
+    """
+    r = row_tids.shape[0]
+    if r > _ROWS_CHUNKED_MIN_R:
+        b = 1 << 17
+        pad_r = (-r) % b
+        rt = jnp.pad(row_tids, ((0, pad_r), (0, 0)), constant_values=-1)
+        rows = jax.lax.map(
+            lambda c: _rows_core_table(table, c),
+            rt.reshape(-1, b, TRIS_PER_ROW),
+        ).reshape(-1, 128)[:r]
+    else:
+        rows = _rows_core_table(table, row_tids)
+    padded = r + R_MAX_ROWS
+    return jnp.pad(rows, ((0, R_MAX_ROWS + ((-padded) % 8)), (0, 0)))
+
+
 def _assemble_wrow(
     node_lo: Array,
     node_hi: Array,
@@ -683,15 +723,22 @@ def build_wide(
     )
 
 
-def refit_wide(wide: WideBVH, bvh: BVH, tris: Triangles) -> WideBVH:
+def refit_wide(wide: WideBVH, bvh: BVH, tris: Triangles,
+               table: Array | None = None) -> WideBVH:
     """Jittable box/row update after vertices moved: new entry boxes come
-    from an already-refit BVH (accel/refit.py); topology stays frozen."""
+    from an already-refit BVH (accel/refit.py); topology stays frozen.
+
+    table: optional prebuilt (T, 15) tri_table at the SAME vertices/albedo
+    as `tris` — when given, triangle rows repack via the ~3x cheaper
+    rows_from_table gather (callers that build the table anyway, e.g. the
+    fit step, should pass stop_gradient(table))."""
     return wide.replace(
         wrow=_assemble_wrow(
             bvh.node_lo, bvh.node_hi, wide.entry_node, wide.entry_meta,
             wide.own_node, wide.escape, wide.has_int,
         ),
-        tri_rows=rows_from_tids(tris, wide.row_tids),
+        tri_rows=(rows_from_table(table, wide.row_tids) if table is not None
+                  else rows_from_tids(tris, wide.row_tids)),
     )
 
 

@@ -134,7 +134,11 @@ class InverseRenderer:
                 if wide is not None:
                     from tpurt.accel.bvh8 import refit_wide
 
-                    wide = refit_wide(wide, bvh, scene.tris)
+                    # one stop-grad table build (~29 ms at 1M) buys the ~3x
+                    # cheaper rows_from_table repack (~58 ms saved) — net
+                    # win, and the same shape the bench step uses
+                    wide = refit_wide(wide, bvh, scene.tris,
+                                      table=tri_table(scene.tris))
             tracer = tracer0.replace(
                 scene=scene, bvh=bvh, packed=packed, wide=wide
             )

@@ -39,7 +39,9 @@ def test_one_all_reduce_per_chunk():
     params = inv.init_params()
     opt_state = inv.opt.init(params)
     tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
-    hlo = step.lower(params, opt_state, rays.o, rays.d, tgt).compile().as_text()
+    hlo = step.lower(
+        params, opt_state, rays.o, rays.d, tgt, inv.tracer0
+    ).compile().as_text()
     n_ar = sum(
         1 for line in hlo.splitlines()
         if "all-reduce" in line and "=" in line

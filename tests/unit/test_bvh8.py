@@ -124,6 +124,14 @@ def test_pack_and_refit_consistent():
                     jax.tree_util.tree_leaves(w_fresh)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # rows_from_table (the fit step's cheap repack from the prebuilt
+    # (T, 15) tri_table) must be BITWISE equal to the vertex-gather path
+    from tpurt.render.pipeline import tri_table
+
+    w_tbl = refit_wide(wide, bvh2, tris2, table=tri_table(tris2))
+    np.testing.assert_array_equal(
+        np.asarray(w_tbl.tri_rows), np.asarray(w_refit.tri_rows))
+
 
 def test_single_triangle_scene():
     scene, _ = make_cornell_box()
