@@ -283,7 +283,16 @@ def run_one(scene, cam, method: str, mode: str, bench_rays: int,
             sc = tr.scene.replace(tris=tr.scene.tris.replace(
                 verts=verts, albedo=albedo))
             bvh, packed, wide = tr.bvh, tr.packed, tr.wide
-            if bvh is not None:
+            if wide is not None and packed is None and not needs_flat:
+                # pure-BVH8 path: fold entry boxes up the wide topology
+                # directly — no binary node RMQ at all (refit_wide_direct;
+                # the step's bvh keeps stale boxes, nothing reads them)
+                from tpurt.accel.bvh8 import refit_wide_direct
+
+                wide = refit_wide_direct(
+                    wide, jax.lax.stop_gradient(sc.tris),
+                    table=jax.lax.stop_gradient(table))
+            elif bvh is not None:
                 bvh = refit_aabbs(bvh, jax.lax.stop_gradient(sc.tris),
                                   update_flat=needs_flat)
                 if packed is not None:

@@ -742,6 +742,106 @@ def refit_wide(wide: WideBVH, bvh: BVH, tris: Triangles,
     )
 
 
+def refit_wide_direct(wide: WideBVH, tris: Triangles,
+                      table: Array | None = None,
+                      max_depth: int = 64) -> WideBVH:
+    """Box/row refit WITHOUT the binary BVH: entry boxes are folded
+    bottom-up over the wide topology itself.
+
+    refit_aabbs rebuilds every binary node box via the sparse-table RMQ
+    (~105 ms at 1M tris on v5e), but the BVH8 kernels read boxes only
+    through wrow — ~8 entries per wide node.  f32 min/max are exactly
+    associative and commutative and every wide entry covers exactly the
+    leaf set of its subtree, so folding (padded) triangle boxes up the
+    wide tree is BITWISE identical to gathering RMQ node boxes
+    (tests/unit/test_bvh8.py), at a fraction of the traffic:
+    tri boxes -> per-row boxes (row_tids fold) -> leaf-entry boxes ->
+    `_converge` passes over the (W, 8, 3) entry boxes (wide depth
+    ~ binary depth / 3).  Measured 200 -> ~100 ms for the whole fit-step
+    prep at 1M tris (docs/PERF.md round 5).
+
+    The returned WideBVH is self-consistent; the binary BVH's node_lo/hi
+    are NOT updated — callers on the pure-BVH8 path (bench fwd_bwd, the
+    pallas8 fit step) own that invariant, same as update_flat=False."""
+    if table is not None:
+        # corners from the prebuilt table (saves the ~29 ms verts gather at
+        # 1M): v1 = v0 + e1 differs from the verts by <=1 ulp, so boxes can
+        # shrink ~ulp vs the RMQ path — harmless: the kernels test the SAME
+        # table-derived rows, and band-edge alpha is exactly 0 there
+        # (compact-support coverage), so an ulp-shell cull moves nothing.
+        v0 = table[:, 0:3]
+        v1 = v0 + table[:, 3:6]
+        v2 = v0 + table[:, 6:9]
+    else:
+        v0, v1, v2 = tris.corners()
+    tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    if wide.band > 0.0:
+        # identical inflation formula to accel/refit.refit_aabbs
+        pad = wide.band * (jnp.abs(v1 - v0) + jnp.abs(v2 - v0)) + 1e-7
+        tri_lo = tri_lo - pad
+        tri_hi = tri_hi + pad
+    big = jnp.float32(3.0e38)
+
+    # per-row boxes (rows are the fat-leaf-aligned tri groups)
+    rt = wide.row_tids                        # (R, 8)
+    ok = rt >= 0
+    g = jnp.maximum(rt, 0)
+    rlo = jnp.min(jnp.where(ok[..., None], tri_lo[g], big), axis=1)  # (R, 3)
+    rhi = jnp.max(jnp.where(ok[..., None], tri_hi[g], -big), axis=1)
+
+    em = wide.entry_meta                      # (W, 8)
+    valid = wide.entry_node >= 0
+    is_leaf = valid & (em < 0)
+    is_int = valid & (em >= 0)
+    child = jnp.maximum(em, 0)                # wide row of internal entries
+    row0 = jnp.maximum((~em) >> 3, 0)
+    n_rows = ((~em) & 7) + 1
+    nrow_tot = rlo.shape[0]
+    llo = jnp.full(em.shape + (3,), big)
+    lhi = jnp.full(em.shape + (3,), -big)
+    for r in range(wide.max_rows):
+        take = is_leaf & (r < n_rows)
+        idx = jnp.minimum(row0 + r, nrow_tot - 1)
+        llo = jnp.where(take[..., None], jnp.minimum(llo, rlo[idx]), llo)
+        lhi = jnp.where(take[..., None], jnp.maximum(lhi, rhi[idx]), lhi)
+
+    def body(state):
+        elo, ehi = state
+        # per-node box = fold of its valid entries
+        nlo = jnp.min(jnp.where(valid[..., None], elo, big), axis=1)
+        nhi = jnp.max(jnp.where(valid[..., None], ehi, -big), axis=1)
+        new_lo = jnp.where(is_int[..., None], nlo[child], elo)
+        new_hi = jnp.where(is_int[..., None], nhi[child], ehi)
+        changed = jnp.any(new_lo != elo) | jnp.any(new_hi != ehi)
+        return (new_lo, new_hi), changed
+
+    from tpurt.accel.lbvh import _converge
+
+    elo, ehi = _converge(body, (llo, lhi), max_depth)
+
+    # pack wrow (same lane layout as _assemble_wrow, boxes from the fold)
+    w = em.shape[0]
+    lo = jnp.where(valid[..., None], elo, EMPTY_BOX)
+    hi = jnp.where(valid[..., None], ehi, EMPTY_BOX)
+    box = jnp.concatenate([lo, hi], axis=-1).reshape(w, 48)
+    meta_f = encode_lane_i32(em)
+    own_lo = jnp.min(jnp.where(valid[..., None], elo, big), axis=1)
+    own_hi = jnp.max(jnp.where(valid[..., None], ehi, -big), axis=1)
+    own_box = jnp.concatenate([own_lo, own_hi], axis=-1)
+    esc_f = encode_lane_i32(wide.escape)[:, None]
+    flag_f = encode_lane_i32(wide.has_int)[:, None]
+    row64 = jnp.concatenate([box, meta_f, own_box, esc_f, flag_f], axis=-1)
+    row64 = jnp.pad(row64, (((0, (-w) % 2), (0, 0))))
+    wrow = row64.reshape(-1, 128)
+    wrow = jnp.pad(wrow, ((0, (-wrow.shape[0]) % 8), (0, 0)))
+    return wide.replace(
+        wrow=wrow,
+        tri_rows=(rows_from_table(table, rt) if table is not None
+                  else rows_from_tids(tris, rt)),
+    )
+
+
 def wide_bytes(wide: WideBVH) -> int:
     return int(wide.wrow.size) * 4
 

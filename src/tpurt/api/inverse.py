@@ -126,19 +126,29 @@ class InverseRenderer:
                 # scatter rewrite on the BVH8/brute paths (refit.py)
                 needs_flat = self.render_cfg.method in (
                     "bvh", "wave", "packet", "pallas")
-                bvh = refit_aabbs(bvh, scene.tris, update_flat=needs_flat)
-                if packed is not None:
-                    from tpurt.accel.packet import refit_packed
+                if wide is not None and packed is None and not needs_flat:
+                    # pure-BVH8 path: fold boxes up the wide topology
+                    # directly (refit_wide_direct) — skips the binary
+                    # node RMQ entirely; one stop-grad table build buys
+                    # the ~3x cheaper rows_from_table repack.  The step's
+                    # bvh keeps stale boxes — nothing on this path reads
+                    # them (tree_quality recomputes its own).
+                    from tpurt.accel.bvh8 import refit_wide_direct
 
-                    packed = refit_packed(packed, bvh, scene.tris)
-                if wide is not None:
-                    from tpurt.accel.bvh8 import refit_wide
+                    wide = refit_wide_direct(wide, scene.tris,
+                                             table=tri_table(scene.tris))
+                else:
+                    bvh = refit_aabbs(bvh, scene.tris,
+                                      update_flat=needs_flat)
+                    if packed is not None:
+                        from tpurt.accel.packet import refit_packed
 
-                    # one stop-grad table build (~29 ms at 1M) buys the ~3x
-                    # cheaper rows_from_table repack (~58 ms saved) — net
-                    # win, and the same shape the bench step uses
-                    wide = refit_wide(wide, bvh, scene.tris,
-                                      table=tri_table(scene.tris))
+                        packed = refit_packed(packed, bvh, scene.tris)
+                    if wide is not None:
+                        from tpurt.accel.bvh8 import refit_wide
+
+                        wide = refit_wide(wide, bvh, scene.tris,
+                                          table=tri_table(scene.tris))
             tracer = tracer0.replace(
                 scene=scene, bvh=bvh, packed=packed, wide=wide
             )

@@ -132,6 +132,50 @@ def test_pack_and_refit_consistent():
     np.testing.assert_array_equal(
         np.asarray(w_tbl.tri_rows), np.asarray(w_refit.tri_rows))
 
+    # refit_wide_direct (no binary RMQ: bottom-up fold over the wide
+    # topology) must be BITWISE equal — f32 min/max are exactly
+    # associative, and entries cover exactly their subtree's leaves
+    from tpurt.accel.bvh8 import refit_wide_direct
+
+    w_direct = jax.jit(refit_wide_direct)(wide, tris2)
+    np.testing.assert_array_equal(
+        np.asarray(w_direct.wrow), np.asarray(w_refit.wrow))
+    np.testing.assert_array_equal(
+        np.asarray(w_direct.tri_rows), np.asarray(w_refit.tri_rows))
+
+
+def test_refit_wide_direct_band():
+    """Band-inflated (soft-path) refit: direct fold == RMQ path.
+
+    Box lanes may differ by ~1 ulp: the band inflation `band*x + 1e-7` is
+    FMA-fused differently in the two jitted programs (min/max themselves
+    are exact — the band=0 comparison above is bitwise).  Boxes are
+    conservative (+1e-7 margin), so ulp jitter is harmless; the integer
+    lanes (metas/escape/flags) and the triangle rows must stay bitwise."""
+    scene, _ = make_bunny_scene(num_tris=700)
+    bvh = build_lbvh(scene.tris, band=0.1)
+    wide = build_wide(scene.tris, bvh)
+    assert wide.band == 0.1
+    tris2 = scene.tris.replace(
+        verts=scene.tris.verts * 0.93 + jnp.asarray([0.02, -0.01, 0.05]))
+    bvh2 = refit_aabbs(bvh, tris2, update_flat=False)
+    from tpurt.accel.bvh8 import refit_wide_direct
+    from tpurt.render.pipeline import tri_table
+
+    ref = refit_wide(wide, bvh2, tris2)
+    direct = jax.jit(refit_wide_direct)(wide, tris2,
+                                        table=tri_table(tris2))
+    a = np.asarray(ref.wrow).reshape(-1, 64)
+    b = np.asarray(direct.wrow).reshape(-1, 64)
+    # integer-encoded lanes: metas 48-55, escape 62, flag 63 — bitwise
+    np.testing.assert_array_equal(a[:, 48:56], b[:, 48:56])
+    np.testing.assert_array_equal(a[:, 62:64], b[:, 62:64])
+    # box lanes (entries 0-47, own box 56-61): ulp-level agreement
+    np.testing.assert_allclose(a[:, 0:48], b[:, 0:48], rtol=3e-6, atol=1e-6)
+    np.testing.assert_allclose(a[:, 56:62], b[:, 56:62], rtol=3e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(direct.tri_rows),
+                                  np.asarray(ref.tri_rows))
+
 
 def test_single_triangle_scene():
     scene, _ = make_cornell_box()
