@@ -32,6 +32,8 @@ rays/s as a first-class metric).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -147,36 +149,49 @@ def segment_accumulate(idx: Array, cot: Array, num_rows: int) -> Array:
     return jnp.where((counts > 0)[:, None], ends, 0.0)
 
 
-@jax.custom_vjp
-def gather_verts(verts: Array, idx: Array) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_verts(verts: Array, idx: Array, grad_cols: int | None = None) -> Array:
     """``verts[idx]`` with a segment-sum (not scatter) reverse transpose.
 
     verts: (V, 3) f32; idx: any int shape (invalid ids must be pre-clamped
     to a valid row — their cotangents are zero by masking upstream).
     Returns verts[idx], shape idx.shape + (3,).
+
+    grad_cols: restrict the backward to the first `grad_cols` columns —
+    the rest of the gradient is zero-filled WITHOUT being sorted/summed.
+    For callers whose trailing columns are gradient-dead by construction
+    (the soft path's emission columns: emission never depends on the
+    fittable parameters, render/pipeline.tri_table), this trims the
+    sorted segment-sum payload.  Correctness-neutral only when the caller
+    can prove the dropped columns' gradients are never consumed.
     """
     return verts[idx]
 
 
-def _gv_fwd(verts, idx):
+def _gv_fwd(grad_cols, verts, idx):
     return verts[idx], (idx, verts.shape[0])
 
 
-def _gv_bwd(res, cot):
+def _gv_bwd(grad_cols, res, cot):
     idx, v_rows = res
     flat_idx = idx.reshape(-1)
     flat_cot = cot.reshape(-1, cot.shape[-1])
+    n_cols = flat_cot.shape[-1]
+    if grad_cols is not None and grad_cols < n_cols:
+        flat_cot = flat_cot[:, :grad_cols]
     if _BACKEND == "scatter":
         # PER-COLUMN scatters: XLA's multi-column f32 scatter-add runs ~8.5x
         # slower than C independent single-column scatters on v5e (66.8 vs
         # 3 x 7.8 ms at 786K rows — measured, docs/PERF.md round 4)
         cols = [
             jnp.zeros((v_rows,), cot.dtype).at[flat_idx].add(flat_cot[:, c])
-            for c in range(cot.shape[-1])
+            for c in range(flat_cot.shape[-1])
         ]
         grad = jnp.stack(cols, axis=-1)
     else:
         grad = segment_accumulate(flat_idx, flat_cot, v_rows)
+    if grad.shape[-1] < n_cols:
+        grad = jnp.pad(grad, ((0, 0), (0, n_cols - grad.shape[-1])))
     return grad, None
 
 

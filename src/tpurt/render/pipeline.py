@@ -591,7 +591,10 @@ def _render_soft(
     idsT = ids.T                                   # (K, R)
     valid = idsT >= 0
     # --- SoA surface attributes: one fused row gather, R-last math -------
-    row = gather_verts(tracer.table, jnp.maximum(idsT, 0))     # (K, R, 15)
+    # grad_cols=12: the emission columns are gradient-dead by construction
+    # (tri_table builds them from tris.emission, which is never a fit
+    # parameter), so the backward segment-sum skips sorting them
+    row = gather_verts(tracer.table, jnp.maximum(idsT, 0), 12)  # (K, R, 15)
     c = [row[..., i] for i in range(15)]                       # 15 x (K, R)
     v0, e1, e2, alb, emi = c[0:3], c[3:6], c[6:9], c[9:12], c[12:15]
     oc = [rays.o[:, i][None] for i in range(3)]                # (1, R)
